@@ -1,0 +1,156 @@
+"""Cone projection dispatcher and Moreau dual-cone wrapper.
+
+Builds, per static :class:`ConeSpec`, a projection function over the stacked
+cone vector. The layout is fixed at trace time so XLA sees static slices;
+equal-size cone blocks that are contiguous are reshaped and projected as one
+batched op (vmapped eigh for PSD, vectorized Newton for exp/power).
+
+Reference: /root/reference/src/cones.c:1340-1494 (proj_cone dispatch) and
+:1552-1596 (Moreau wrapper SCS(proj_dual_cone)).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..types import ConeData, ConeSpec
+from . import box, exp, power, psd, soc
+
+
+def _contiguous_runs(sizes):
+    """Group a sequence into (size, count) runs of equal consecutive values."""
+    runs = []
+    for sz in sizes:
+        if runs and runs[-1][0] == sz:
+            runs[-1][1] += 1
+        else:
+            runs.append([sz, 1])
+    return [(sz, ct) for sz, ct in runs]
+
+
+def cone_boundaries(spec: ConeSpec) -> list[int]:
+    """Per-cone segment lengths for equilibration aggregation.
+
+    First entry covers z + l + bsize (independently scalable rows); then one
+    entry per SOC/PSD/complex-PSD/exp/power cone. Mirrors set_cone_boundaries
+    (src/cones.c:386-424).
+    """
+    b = [spec.z + spec.l + spec.bsize]
+    b += list(spec.q)
+    b += [si * (si + 1) // 2 for si in spec.s]
+    b += [ci * ci for ci in spec.cs]
+    b += [3] * (spec.ep + spec.ed)
+    b += [3] * spec.psize
+    return b
+
+
+@dataclasses.dataclass(frozen=True)
+class ConeLayout:
+    """Static offsets of each cone family within the stacked m-vector."""
+
+    spec: ConeSpec
+    z_off: int
+    l_off: int
+    box_off: int
+    q_off: int
+    s_off: int
+    cs_off: int
+    exp_off: int
+    pow_off: int
+    total: int
+
+    @staticmethod
+    def make(spec: ConeSpec) -> "ConeLayout":
+        off = 0
+        z_off = off
+        off += spec.z
+        l_off = off
+        off += spec.l
+        box_off = off
+        off += spec.bsize
+        q_off = off
+        off += sum(spec.q)
+        s_off = off
+        off += sum(si * (si + 1) // 2 for si in spec.s)
+        cs_off = off
+        off += sum(ci * ci for ci in spec.cs)
+        exp_off = off
+        off += 3 * (spec.ep + spec.ed)
+        pow_off = off
+        off += 3 * spec.psize
+        return ConeLayout(spec, z_off, l_off, box_off, q_off, s_off, cs_off,
+                          exp_off, pow_off, off)
+
+
+def proj_cone(x: jnp.ndarray, spec: ConeSpec, cone_data: ConeData,
+              box_t_warm, r_y: Optional[jnp.ndarray]):
+    """Project x onto the primal cone K (in the r_y-inverse metric for box).
+
+    Returns (projected x, new box warm start). All offsets static.
+    """
+    lay = ConeLayout.make(spec)
+    assert x.shape[0] == lay.total, (x.shape, lay.total)
+    parts = []
+    new_warm = box_t_warm
+
+    if spec.z:
+        parts.append(jnp.zeros((spec.z,), x.dtype))
+    if spec.l:
+        parts.append(jnp.maximum(x[lay.l_off:lay.l_off + spec.l], 0.0))
+    if spec.bsize:
+        seg = x[lay.box_off:lay.box_off + spec.bsize]
+        r_seg = None if r_y is None else r_y[lay.box_off:lay.box_off + spec.bsize]
+        out, new_warm = box.proj_box_cone(seg, cone_data.bl, cone_data.bu,
+                                          box_t_warm, r_seg)
+        parts.append(out)
+    off = lay.q_off
+    for (sz, ct) in _contiguous_runs(spec.q):
+        seg = x[off:off + sz * ct]
+        if sz == 1:
+            parts.append(jnp.maximum(seg, 0.0))
+        else:
+            parts.append(soc.proj_soc_batch(seg.reshape(ct, sz)).reshape(-1))
+        off += sz * ct
+    off = lay.s_off
+    for (sz, ct) in _contiguous_runs(spec.s):
+        tri = sz * (sz + 1) // 2
+        seg = x[off:off + tri * ct].reshape(ct, tri)
+        parts.append(psd.proj_psd_batch(seg, sz).reshape(-1))
+        off += tri * ct
+    off = lay.cs_off
+    for (sz, ct) in _contiguous_runs(spec.cs):
+        full = sz * sz
+        seg = x[off:off + full * ct].reshape(ct, full)
+        parts.append(psd.proj_cpsd_batch(seg, sz).reshape(-1))
+        off += full * ct
+    n_exp = spec.ep + spec.ed
+    if n_exp:
+        seg = x[lay.exp_off:lay.exp_off + 3 * n_exp].reshape(n_exp, 3)
+        primal_mask = jnp.asarray(
+            np.arange(n_exp) < spec.ep, dtype=bool)
+        parts.append(exp.proj_exp_batch(seg, primal_mask).reshape(-1))
+    if spec.psize:
+        seg = x[lay.pow_off:lay.pow_off + 3 * spec.psize].reshape(spec.psize, 3)
+        a = jnp.asarray(np.asarray(spec.p), dtype=x.dtype)
+        parts.append(power.proj_power_batch(seg, a).reshape(-1))
+
+    return jnp.concatenate(parts) if parts else x, new_warm
+
+
+def proj_dual_cone(x: jnp.ndarray, spec: ConeSpec, cone_data: ConeData,
+                   box_t_warm, r_y: Optional[jnp.ndarray]):
+    """Moreau decomposition under the diagonal R metric (cones.c:1552-1596):
+
+        Pi_C^R(x) = x + R^{-1} Pi_{C*}^{R^{-1}}(-R x)
+
+    Returns (projection, new box warm start).
+    """
+    s = x
+    xr = -x if r_y is None else -x * r_y
+    proj, new_warm = proj_cone(xr, spec, cone_data, box_t_warm, r_y)
+    out = proj + s if r_y is None else proj / r_y + s
+    return out, new_warm

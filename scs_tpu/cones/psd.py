@@ -1,0 +1,138 @@
+"""PSD cone projection via batched symmetric eigendecomposition.
+
+The cone vector packs the lower triangle column-major with off-diagonal
+entries scaled by sqrt(2) (standard scaled-vec / svec convention). The
+reference implementation (src/cones.c:999-1067) unpacks to a full matrix,
+scales the diagonal by sqrt(2) (so the whole matrix is sqrt(2)*M), runs
+LAPACK syevr, clips negative eigenvalues, and reconstructs. We do the
+mathematically identical: unpack to M (dividing off-diags by sqrt2),
+jnp.linalg.eigh, clip, repack. Equal-size blocks are batched with vmap so
+TPUs see one batched eigh instead of a loop.
+
+Complex (Hermitian) PSD cones pack n^2 reals per block: for column i the
+diagonal real part followed by interleaved (re, im) pairs of the below-
+diagonal entries (src/cones.c:1072-1156).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_SQRT2 = np.sqrt(2.0)
+
+
+@functools.lru_cache(maxsize=None)
+def _tri_indices(ns: int):
+    """Static index arrays for svec packing of an ns x ns symmetric matrix.
+
+    Returns (unpack_idx, unpack_scale, tri_r, tri_c, pack_scale):
+      unpack_idx: (ns, ns) int array, packed index of entry (r, c)
+      unpack_scale: (ns, ns) multiplier to recover M from packed vec
+      tri_r, tri_c: (tri,) row/col of each packed slot (r >= c, col-major)
+      pack_scale: (tri,) multiplier to build packed vec from M
+    """
+    tri = ns * (ns + 1) // 2
+    tri_r = np.zeros(tri, dtype=np.int32)
+    tri_c = np.zeros(tri, dtype=np.int32)
+    k = 0
+    for c in range(ns):
+        for r in range(c, ns):
+            tri_r[k] = r
+            tri_c[k] = c
+            k += 1
+    packed = np.zeros((ns, ns), dtype=np.int32)
+    for k in range(tri):
+        packed[tri_r[k], tri_c[k]] = k
+        packed[tri_c[k], tri_r[k]] = k
+    unpack_scale = np.where(np.eye(ns, dtype=bool), 1.0, 1.0 / _SQRT2)
+    pack_scale = np.where(tri_r == tri_c, 1.0, _SQRT2)
+    return (jnp.asarray(packed), jnp.asarray(unpack_scale),
+            jnp.asarray(tri_r), jnp.asarray(tri_c), jnp.asarray(pack_scale))
+
+
+def svec_to_mat(v: jnp.ndarray, ns: int) -> jnp.ndarray:
+    """(tri,) scaled-packed vector -> (ns, ns) full symmetric matrix."""
+    idx, unpack_scale, *_ = _tri_indices(ns)
+    return v[idx] * unpack_scale.astype(v.dtype)
+
+
+def mat_to_svec(M: jnp.ndarray, ns: int) -> jnp.ndarray:
+    """(ns, ns) symmetric matrix -> (tri,) scaled-packed vector."""
+    _, _, tri_r, tri_c, pack_scale = _tri_indices(ns)
+    return M[tri_r, tri_c] * pack_scale.astype(M.dtype)
+
+
+def proj_psd_batch(v: jnp.ndarray, ns: int) -> jnp.ndarray:
+    """Project (k, tri) packed vectors onto the PSD cone of dim ns."""
+    if ns == 1:
+        return jnp.maximum(v, 0.0)
+
+    def one(vi):
+        M = svec_to_mat(vi, ns)
+        w, V = jnp.linalg.eigh(M)
+        w = jnp.maximum(w, 0.0)
+        Mp = (V * w[None, :]) @ V.T
+        return mat_to_svec(Mp, ns)
+
+    return jax.vmap(one)(v)
+
+
+@functools.lru_cache(maxsize=None)
+def _cplx_indices(ns: int):
+    """Static indices for the reference's complex-PSD real packing.
+
+    Packed layout (src/cones.c:1095-1103): for col i in [0, ns-1):
+      offset i*(2*ns - i): diagonal (real);
+      then 2*(ns-i-1) reals = (re, im) of rows i+1..ns-1;
+    last element (index ns^2 - 1) is the last diagonal.
+    Returns (diag_idx (ns,), re_idx (nl,), im_idx (nl,), lo_r (nl,), lo_c (nl,))
+    where nl = ns(ns-1)/2 enumerates strictly-lower entries column-major.
+    """
+    diag_idx = np.zeros(ns, dtype=np.int32)
+    for i in range(ns - 1):
+        diag_idx[i] = i * (2 * ns - i)
+    diag_idx[ns - 1] = ns * ns - 1
+    nl = ns * (ns - 1) // 2
+    re_idx = np.zeros(nl, dtype=np.int32)
+    im_idx = np.zeros(nl, dtype=np.int32)
+    lo_r = np.zeros(nl, dtype=np.int32)
+    lo_c = np.zeros(nl, dtype=np.int32)
+    k = 0
+    for c in range(ns - 1):
+        base = c * (2 * ns - c) + 1
+        for r in range(c + 1, ns):
+            re_idx[k] = base + 2 * (r - c - 1)
+            im_idx[k] = re_idx[k] + 1
+            lo_r[k] = r
+            lo_c[k] = c
+            k += 1
+    return tuple(jnp.asarray(a) for a in (diag_idx, re_idx, im_idx, lo_r, lo_c))
+
+
+def proj_cpsd_batch(v: jnp.ndarray, ns: int) -> jnp.ndarray:
+    """Project (k, ns^2) real-packed vectors onto the complex PSD cone."""
+    if ns == 1:
+        return jnp.maximum(v, 0.0)
+    diag_idx, re_idx, im_idx, lo_r, lo_c = _cplx_indices(ns)
+    cdtype = jnp.complex64 if v.dtype == jnp.float32 else jnp.complex128
+    inv_sqrt2 = 1.0 / _SQRT2
+
+    def one(vi):
+        M = jnp.zeros((ns, ns), dtype=cdtype)
+        M = M.at[jnp.arange(ns), jnp.arange(ns)].set(vi[diag_idx].astype(cdtype))
+        lo = (vi[re_idx] + 1j * vi[im_idx]) * inv_sqrt2
+        M = M.at[lo_r, lo_c].set(lo.astype(cdtype))
+        M = M.at[lo_c, lo_r].set(jnp.conj(lo).astype(cdtype))
+        w, V = jnp.linalg.eigh(M)
+        w = jnp.maximum(w, 0.0)
+        Mp = (V * w[None, :].astype(cdtype)) @ jnp.conj(V.T)
+        out = jnp.zeros_like(vi)
+        out = out.at[diag_idx].set(jnp.real(jnp.diagonal(Mp)))
+        lo_p = Mp[lo_r, lo_c] * _SQRT2
+        out = out.at[re_idx].set(jnp.real(lo_p))
+        out = out.at[im_idx].set(jnp.imag(lo_p))
+        return out
+
+    return jax.vmap(one)(v)

@@ -1,0 +1,496 @@
+"""Core ADMM loop for the homogeneous self-dual embedding.
+
+One iteration (reference: /root/reference/src/scs.c:1356-1455) is a pure
+function state -> state; the whole solve is a single lax.while_loop compiled
+once per (cone layout, settings) pair. All convergence checking happens
+on-device inside the loop carry (every CONVERGED_INTERVAL iterations),
+matching the reference's cadence without host syncs.
+
+Iteration order (scs.c:1356-1455):
+  1. Anderson acceleration (every acceleration_interval iters, i > 0)
+  2. normalize v to constant L2 norm (homogeneity; i >= FEASIBLE_ITERS)
+  3. u_t = (R + Q)^{-1} R v  -- linear system solve + root_plus for tau
+  4. u = Pi_C(2 u_t - v)     -- cone projection via Moreau
+  5. rsk = R (v + u - 2 u_t)
+  6. residuals + convergence / certificate check (every 25 iters)
+  7. adaptive scale update (when residuals fresh)
+  8. v += alpha (u - u_t)
+  9. AA safeguard
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+
+from . import accel, config
+from .cones.project import proj_dual_cone
+from .equilibrate import Scaling
+from .linsys import get_backend
+from .types import ConeData, ConeSpec, Settings
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class ProblemData:
+    """Normalized problem data + originals, all device arrays."""
+
+    A: jax.Array                 # (m, n) normalized
+    P: Optional[jax.Array]       # (n, n) normalized or None
+    b: jax.Array                 # (m,) normalized
+    c: jax.Array                 # (n,) normalized
+    b_orig: jax.Array
+    c_orig: jax.Array
+    nm_b_orig: jax.Array         # inf-norm of original b
+    nm_c_orig: jax.Array
+    scal: Scaling
+    cone: ConeData               # normalized (equilibrated) cone data
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class Residuals:
+    """Scalar residual snapshot, original problem space (ScsResiduals analog).
+
+    Also carries the two normalized-space norms the indirect backend's CG
+    tolerance schedule reads (scs.c:745-761).
+    """
+
+    last_iter: jax.Array
+    tau: jax.Array
+    kap: jax.Array
+    res_pri: jax.Array
+    res_dual: jax.Array
+    gap: jax.Array
+    res_infeas: jax.Array
+    res_unbdd_a: jax.Array
+    res_unbdd_p: jax.Array
+    ctx: jax.Array
+    bty: jax.Array
+    xt_p_x: jax.Array
+    pobj: jax.Array
+    dobj: jax.Array
+    bty_tau: jax.Array
+    ctx_tau: jax.Array
+    nm_ax: jax.Array
+    nm_s: jax.Array
+    nm_px: jax.Array
+    nm_aty: jax.Array
+    nm_ax_s_btau: jax.Array
+    nm_px_aty_ctau: jax.Array
+    nm_ax_s_btau_norm: jax.Array
+    nm_px_aty_ctau_norm: jax.Array
+
+    @staticmethod
+    def zeros(dtype) -> "Residuals":
+        z = jnp.zeros((), dtype)
+        return Residuals(
+            last_iter=jnp.asarray(-1, jnp.int32), tau=z + 1.0, kap=z,
+            res_pri=z, res_dual=z, gap=z, res_infeas=z, res_unbdd_a=z,
+            res_unbdd_p=z, ctx=z, bty=z, xt_p_x=z, pobj=z, dobj=z,
+            bty_tau=z, ctx_tau=z, nm_ax=z, nm_s=z, nm_px=z, nm_aty=z,
+            nm_ax_s_btau=z, nm_px_aty_ctau=z,
+            nm_ax_s_btau_norm=z, nm_px_aty_ctau_norm=z)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class LoopState:
+    u: jax.Array
+    u_t: jax.Array
+    v: jax.Array
+    v_prev: jax.Array            # AA safeguard snapshot (post-normalize v)
+    rsk: jax.Array
+    diag_r: jax.Array
+    g: jax.Array                 # (l-1,) cache: (I+M)^{-1} [c; -b]
+    derived: Any                 # linsys factorization/preconditioner
+    scale: jax.Array
+    box_t_warm: jax.Array
+    res: Residuals
+    sum_log_scale_factor: jax.Array
+    n_log_scale_factor: jax.Array
+    last_scale_update_iter: jax.Array
+    scale_updates: jax.Array
+    status: jax.Array            # int32 exit flag (0 = running)
+    iter: jax.Array              # int32
+    aa: accel.AAState
+    aa_norm: jax.Array
+    accepted_accel: jax.Array
+    rejected_accel: jax.Array
+    tot_cg_its: jax.Array
+
+
+def _norm_inf(x):
+    return jnp.max(jnp.abs(x), initial=0.0)
+
+
+def _safediv_pos(x, y):
+    return jnp.where(y < config.DIV_EPS_TOL, x / config.DIV_EPS_TOL, x / y)
+
+
+def set_diag_r(spec: ConeSpec, n: int, m: int, scale, rho_x, dtype):
+    """diag_r = [rho_x 1_n; r_y; TAU_FACTOR] (scs.c:971-980, cones.c:349-363).
+
+    Zero-cone rows get r_y = 1/(1000 scale); all other rows 1/scale.
+    """
+    rows = jnp.arange(m)
+    r_y = jnp.where(rows < spec.z, 1.0 / (1000.0 * scale), 1.0 / scale)
+    return jnp.concatenate([
+        jnp.full((n,), rho_x, dtype),
+        r_y.astype(dtype),
+        jnp.full((1,), config.TAU_FACTOR, dtype),
+    ])
+
+
+def root_plus(g, p, mu, eta, diag_r, nm: int):
+    """Homogeneous tau from the scalar quadratic (scs.c:689-730).
+
+    Five R-weighted dot products fused into vector reductions; stable
+    quadratic formula with the historical repeated-root fallback.
+    """
+    r = diag_r[:nm]
+    gs = g * r
+    gg = gs @ g
+    mug = mu[:nm] @ gs
+    pg = p[:nm] @ gs
+    ps = p[:nm] * r
+    pp = ps @ p[:nm]
+    pmu = ps @ mu[:nm]
+    tau_scale = diag_r[nm]
+    a = tau_scale + gg
+    b = mug - 2.0 * pg - eta * tau_scale
+    c = pp - pmu
+    rad = b * b - 4.0 * a * c
+    sqrt_rad = jnp.sqrt(jnp.maximum(rad, 0.0))
+    res_neg_rad = -b / (2.0 * a)
+    res_b_neg = (-b + sqrt_rad) / (2.0 * a)
+    q = -0.5 * (b + sqrt_rad)
+    res_b_pos = jnp.where(q != 0.0, c / jnp.where(q != 0.0, q, 1.0), 0.0)
+    out = jnp.where(rad < 0.0, res_neg_rad,
+                    jnp.where(b <= 0.0, res_b_neg, res_b_pos))
+    ok = (jnp.isfinite(a) & jnp.isfinite(b) & jnp.isfinite(c)
+          & (a > 0.0) & jnp.isfinite(rad))
+    return jnp.where(ok, out, jnp.nan)
+
+
+def populate_residuals(data: ProblemData, spec: ConeSpec, u, rsk, it) -> Residuals:
+    """Compute normalized residuals, unnormalize, reduce to scalars.
+
+    Reference: populate_residual_struct + unnormalize_residuals + the two
+    compute_residuals calls (scs.c:454-607).
+    """
+    m, n = data.A.shape
+    dtype = u.dtype
+    x = u[:n]
+    y = u[n:n + m]
+    s = rsk[n:n + m]
+    tau = jnp.abs(u[n + m])
+    kap = jnp.abs(rsk[n + m])
+
+    ax = data.A @ x
+    ax_s = ax + s
+    ax_s_btau = ax_s - tau * data.b
+    if data.P is not None:
+        px = data.P @ x
+        xt_p_x_tau = px @ x
+    else:
+        px = jnp.zeros((n,), dtype)
+        xt_p_x_tau = jnp.zeros((), dtype)
+    aty = data.A.T @ y
+    px_aty_ctau = px + aty + tau * data.c
+    bty_tau = y @ data.b
+    ctx_tau = x @ data.c
+
+    # normalized-space norms for the CG tolerance schedule
+    nm_ax_s_btau_norm = _norm_inf(ax_s_btau)
+    nm_px_aty_ctau_norm = _norm_inf(px_aty_ctau)
+
+    # -- unnormalize (scs.c:487-531) --
+    scal = data.scal
+    pd = scal.primal_scale * scal.dual_scale
+    fac_m = 1.0 / (scal.D * scal.dual_scale)   # primal-side vectors
+    fac_n = 1.0 / (scal.E * scal.primal_scale)  # dual-side vectors
+    ax_o = ax * fac_m
+    ax_s_o = ax_s * fac_m
+    ax_s_btau_o = ax_s_btau * fac_m
+    px_o = px * fac_n
+    aty_o = aty * fac_n
+    px_aty_ctau_o = px_aty_ctau * fac_n
+    s_o = s / (scal.D * scal.dual_scale)
+    kap_o = kap / pd
+    bty_tau_o = bty_tau / pd
+    ctx_tau_o = ctx_tau / pd
+    xt_p_x_tau_o = xt_p_x_tau / pd
+
+    bty = _safediv_pos(bty_tau_o, tau)
+    ctx = _safediv_pos(ctx_tau_o, tau)
+    xt_p_x = _safediv_pos(xt_p_x_tau_o, tau * tau)
+    gap = jnp.abs(xt_p_x + ctx + bty)
+    pobj = xt_p_x / 2.0 + ctx
+    dobj = -xt_p_x / 2.0 - bty
+
+    # -- compute_residuals in the original space (scs.c:463-485) --
+    tol = config.INFEAS_NEGATIVITY_TOL / pd
+    res_pri = _safediv_pos(_norm_inf(ax_s_btau_o), tau)
+    res_dual = _safediv_pos(_norm_inf(px_aty_ctau_o), tau)
+    nan = jnp.asarray(jnp.nan, dtype)
+    unbdd_cond = ctx_tau_o < -tol
+    res_unbdd_a = jnp.where(
+        unbdd_cond, _safediv_pos(_norm_inf(ax_s_o), -ctx_tau_o), nan)
+    res_unbdd_p = jnp.where(
+        unbdd_cond, _safediv_pos(_norm_inf(px_o), -ctx_tau_o), nan)
+    infeas_cond = bty_tau_o < -tol
+    res_infeas = jnp.where(
+        infeas_cond, _safediv_pos(_norm_inf(aty_o), -bty_tau_o), nan)
+
+    return Residuals(
+        last_iter=jnp.asarray(it, jnp.int32), tau=tau, kap=kap_o,
+        res_pri=res_pri, res_dual=res_dual, gap=gap,
+        res_infeas=res_infeas, res_unbdd_a=res_unbdd_a,
+        res_unbdd_p=res_unbdd_p, ctx=ctx, bty=bty, xt_p_x=xt_p_x,
+        pobj=pobj, dobj=dobj, bty_tau=bty_tau_o, ctx_tau=ctx_tau_o,
+        nm_ax=_norm_inf(ax_o), nm_s=_norm_inf(s_o),
+        nm_px=_norm_inf(px_o), nm_aty=_norm_inf(aty_o),
+        nm_ax_s_btau=_norm_inf(ax_s_btau_o),
+        nm_px_aty_ctau=_norm_inf(px_aty_ctau_o),
+        nm_ax_s_btau_norm=nm_ax_s_btau_norm,
+        nm_px_aty_ctau_norm=nm_px_aty_ctau_norm)
+
+
+def has_converged(r: Residuals, data: ProblemData, stg: Settings):
+    """Termination test (scs.c:611-649). NaN comparisons are false, matching
+    the reference's isless semantics for unset certificate residuals."""
+    grl = jnp.maximum(jnp.maximum(jnp.abs(r.xt_p_x), jnp.abs(r.ctx)),
+                      jnp.abs(r.bty))
+    prl = jnp.maximum(jnp.maximum(data.nm_b_orig * r.tau, r.nm_s),
+                      r.nm_ax) / r.tau
+    drl = jnp.maximum(jnp.maximum(data.nm_c_orig * r.tau, r.nm_px),
+                      r.nm_aty) / r.tau
+    solved = ((r.tau > 0.0)
+              & (r.res_pri < stg.eps_abs + stg.eps_rel * prl)
+              & (r.res_dual < stg.eps_abs + stg.eps_rel * drl)
+              & (r.gap < stg.eps_abs + stg.eps_rel * grl))
+    unbounded = ((r.res_unbdd_a < stg.eps_infeas)
+                 & (r.res_unbdd_p < stg.eps_infeas))
+    infeasible = r.res_infeas < stg.eps_infeas
+    return jnp.where(
+        solved, config.SOLVED,
+        jnp.where(unbounded, config.UNBOUNDED,
+                  jnp.where(infeasible, config.INFEASIBLE,
+                            config.UNFINISHED))).astype(jnp.int32)
+
+
+def make_step(spec: ConeSpec, stg: Settings):
+    """Build the single-iteration body (pure function of (data, state))."""
+    backend = get_backend(stg.linsys)
+    use_aa = stg.acceleration_lookback > 0
+    mem = max(stg.acceleration_lookback, 1)
+    is_indirect = stg.linsys == "indirect"
+
+    def update_work_cache(data: ProblemData, diag_r, derived):
+        """g = (I + M)^{-1} [c; -b] (scs.c:1118-1128)."""
+        h = jnp.concatenate([data.c, -data.b])
+        g, _ = backend.solve(data.A, data.P, diag_r, derived, h, None,
+                             jnp.asarray(config.CG_BEST_TOL, h.dtype))
+        return g
+
+    def project_lin_sys(data: ProblemData, st: LoopState, i):
+        m, n = data.A.shape
+        l = n + m + 1
+        v, dr = st.v, st.diag_r
+        rhs = jnp.concatenate([v[:n] * dr[:n], -v[n:l - 1] * dr[n:l - 1]])
+        if is_indirect:
+            warm = st.u[:n] + st.u[l - 1] * st.g[:n]
+            tol = jnp.minimum(st.res.nm_ax_s_btau_norm,
+                              st.res.nm_px_aty_ctau_norm)
+            nm_ws = _norm_inf(warm) / jnp.power(
+                (i + 1).astype(v.dtype), config.CG_RATE)
+            tol = config.CG_TOL_FACTOR * jnp.minimum(tol, nm_ws)
+            tol = jnp.maximum(config.CG_BEST_TOL, tol)
+        else:
+            warm = None
+            tol = jnp.asarray(-1.0, v.dtype)
+        sol, cg_its = backend.solve(data.A, data.P, dr, st.derived, rhs,
+                                    warm, tol)
+        tau = jnp.where(
+            i < config.FEASIBLE_ITERS,
+            jnp.asarray(1.0, v.dtype),
+            root_plus(st.g, sol, v, v[l - 1], dr, l - 1))
+        u_t = jnp.concatenate([sol - tau * st.g, tau[None]])
+        return u_t, cg_its
+
+    def project_cones(data: ProblemData, st: LoopState, u_t, i):
+        m, n = data.A.shape
+        l = n + m + 1
+        u_pre = 2.0 * u_t - st.v
+        y_proj, box_t = proj_dual_cone(
+            u_pre[n:n + m], spec, data.cone, st.box_t_warm,
+            st.diag_r[n:n + m])
+        tau = jnp.where(i < config.FEASIBLE_ITERS,
+                        jnp.asarray(1.0, u_pre.dtype),
+                        jnp.maximum(u_pre[l - 1], 0.0))
+        u = jnp.concatenate([u_pre[:n], y_proj, tau[None]])
+        return u, box_t
+
+    def update_scale(data: ProblemData, st: LoopState, i):
+        """Adaptive dual-scale update (scs.c:1164-1241)."""
+        r = st.res
+        denom_pri = jnp.maximum(jnp.maximum(r.nm_ax, r.nm_s),
+                                data.nm_b_orig * r.tau)
+        rel_pri = jnp.maximum(_safediv_pos(r.nm_ax_s_btau, denom_pri),
+                              config.DIV_EPS_TOL)
+        denom_dual = jnp.maximum(jnp.maximum(r.nm_px, r.nm_aty),
+                                 data.nm_c_orig * r.tau)
+        rel_dual = jnp.maximum(_safediv_pos(r.nm_px_aty_ctau, denom_dual),
+                               config.DIV_EPS_TOL)
+        sum_log = st.sum_log_scale_factor + jnp.log(rel_pri) - jnp.log(rel_dual)
+        n_log = st.n_log_scale_factor + 1.0
+        factor = jnp.sqrt(jnp.exp(sum_log / n_log))
+        new_scale = jnp.clip(st.scale * factor,
+                             config.MIN_SCALE_VALUE, config.MAX_SCALE_VALUE)
+        do_update = ((i - st.last_scale_update_iter
+                      >= config.RESCALING_MIN_ITERS)
+                     & (new_scale != st.scale)
+                     & ((factor > jnp.sqrt(10.0))
+                        | (factor < 1.0 / jnp.sqrt(10.0))))
+
+        def apply_update(st: LoopState) -> LoopState:
+            m, n = data.A.shape
+            diag_r = set_diag_r(spec, n, m, new_scale, stg.rho_x, st.v.dtype)
+            derived = backend.derive(data.A, data.P, diag_r)
+            g = update_work_cache(data, diag_r, derived)
+            # remap v: R+ (v+ + u - 2u_t) = rsk  =>  v+ = R+^-1 rsk + 2u_t - u
+            v = st.rsk / diag_r + 2.0 * st.u_t - st.u
+            return dataclasses.replace(
+                st, diag_r=diag_r, derived=derived, g=g, v=v,
+                scale=new_scale,
+                sum_log_scale_factor=jnp.zeros_like(sum_log),
+                n_log_scale_factor=jnp.zeros_like(n_log),
+                last_scale_update_iter=i,
+                scale_updates=st.scale_updates + 1,
+                aa=_aa_reset(st.aa))
+
+        def no_update(st: LoopState) -> LoopState:
+            return dataclasses.replace(
+                st, sum_log_scale_factor=sum_log, n_log_scale_factor=n_log)
+
+        return jax.lax.cond(do_update, apply_update, no_update, st)
+
+    def _aa_reset(a):
+        return accel._reset(a)
+
+    def step(data: ProblemData, st: LoopState) -> LoopState:
+        m, n = data.A.shape
+        l = n + m + 1
+        i = st.iter
+        dtype = st.v.dtype
+        v = st.v
+        aa_state = st.aa
+        aa_norm = jnp.zeros((), dtype)
+
+        # 1. Anderson acceleration (before the DR step so the final operation
+        #    of every iteration is a cone projection; scs.c:1357-1366)
+        if use_aa:
+            apply_now = (i > 0) & (i % stg.acceleration_interval == 0)
+
+            def do_apply(args):
+                a, f, x = args
+                return accel.aa_apply(
+                    a, f, x, mem=mem, type1=stg.acceleration_type_1,
+                    regularization=stg.acceleration_regularization,
+                    relaxation=stg.acceleration_relaxation)
+
+            def no_apply(args):
+                a, f, _ = args
+                return a, f, jnp.zeros((), dtype)
+
+            aa_state, v, aa_norm = jax.lax.cond(
+                apply_now, do_apply, no_apply, (aa_state, v, st.v_prev))
+
+        # 2. normalize v to L2 norm sqrt(l) (homogeneity; scs.c:813-821)
+        v_norm = jnp.linalg.norm(v)
+        v_scaled = v * (jnp.sqrt(jnp.asarray(l, dtype))
+                        * config.ITERATE_NORM / jnp.where(v_norm > 0, v_norm, 1.0))
+        v = jnp.where((i >= config.FEASIBLE_ITERS) & (v_norm > 0.0),
+                      v_scaled, v)
+
+        # 3. snapshot for the AA safeguard
+        v_prev = v
+
+        st = dataclasses.replace(st, v=v, v_prev=v_prev, aa=aa_state)
+
+        # 4. linear system projection
+        u_t, cg_its = project_lin_sys(data, st, i)
+
+        # 5. cone projection
+        u, box_t = project_cones(data, st, u_t, i)
+
+        # 6. rsk = R (v + u - 2 u_t); before the dual update (scs.c:781-786)
+        rsk = (v + u - 2.0 * u_t) * st.diag_r
+
+        st = dataclasses.replace(
+            st, u=u, u_t=u_t, rsk=rsk, box_t_warm=box_t,
+            tot_cg_its=st.tot_cg_its + cg_its)
+
+        # 7. residuals + convergence check every CONVERGED_INTERVAL iters
+        check = (i % config.CONVERGED_INTERVAL) == 0
+
+        def fresh_res(_):
+            r = populate_residuals(data, spec, u, rsk, i)
+            return r, has_converged(r, data, stg)
+
+        def stale_res(_):
+            return st.res, jnp.zeros((), jnp.int32)
+
+        res, status = jax.lax.cond(check, fresh_res, stale_res, None)
+        st = dataclasses.replace(st, res=res, status=status)
+
+        # 8-10. scale update, dual update, safeguard — skipped on termination
+        def proceed(st: LoopState) -> LoopState:
+            if stg.adaptive_scale:
+                st = jax.lax.cond(check, lambda s: update_scale(data, s, i),
+                                  lambda s: s, st)
+            # dual update: v += alpha (u - u_t) (scs.c:788-793)
+            v_new = st.v + stg.alpha * (st.u - st.u_t)
+            st = dataclasses.replace(st, v=v_new)
+            if use_aa:
+                def do_guard(st: LoopState) -> LoopState:
+                    a, f_out, x_out, rejected = accel.aa_safeguard(
+                        st.aa, st.v, st.v_prev)
+                    return dataclasses.replace(
+                        st, aa=a, v=f_out, v_prev=x_out,
+                        rejected_accel=st.rejected_accel
+                        + rejected.astype(jnp.int32),
+                        accepted_accel=st.accepted_accel
+                        + (~rejected).astype(jnp.int32))
+
+                guard_now = (i % stg.acceleration_interval == 0) & (aa_norm > 0)
+                st = jax.lax.cond(guard_now, do_guard, lambda s: s, st)
+            return dataclasses.replace(st, iter=i + 1)
+
+        def halt(st: LoopState) -> LoopState:
+            return st
+
+        st = jax.lax.cond(st.status == config.UNFINISHED, proceed, halt, st)
+        return dataclasses.replace(st, aa_norm=aa_norm)
+
+    return step, update_work_cache
+
+
+def make_runner(spec: ConeSpec, stg: Settings):
+    """Build the jitted chunked runner: run until status != 0, iter cap, or
+    chunk boundary (host checks time limit / prints between chunks)."""
+    step, _ = make_step(spec, stg)
+
+    @jax.jit
+    def run(data: ProblemData, st: LoopState, iter_cap) -> LoopState:
+        def cond(st: LoopState):
+            return (st.status == config.UNFINISHED) & (st.iter < iter_cap)
+
+        return jax.lax.while_loop(cond, lambda s: step(data, s), st)
+
+    return run

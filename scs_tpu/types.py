@@ -1,0 +1,184 @@
+"""Core data types: problem data, cones, settings, solution, info.
+
+Mirrors the reference API surface (reference: include/scs.h:44-244) with a
+functional, pytree-oriented design: problem data are dense device arrays
+(TPUs want dense tiles feeding the MXU), the cone layout is a static
+(hashable) spec that shapes the compiled program, and per-cone numeric data
+(box bounds, power-cone exponents) ride along as arrays.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import config
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class Problem:
+    """Quadratic cone program data:  min (1/2)x'Px + c'x  s.t. Ax + s = b, s in K.
+
+    Dense analog of the reference's ScsData (include/scs.h:103-119). ``A`` is
+    (m, n); ``P`` is (n, n) *full symmetric* (the reference takes upper-tri
+    CSC; we symmetrize on construction). ``P`` may be None for LPs/SOCPs.
+    """
+
+    A: jax.Array
+    b: jax.Array
+    c: jax.Array
+    P: Optional[jax.Array] = None
+
+    @property
+    def m(self) -> int:
+        return self.A.shape[0]
+
+    @property
+    def n(self) -> int:
+        return self.A.shape[1]
+
+
+def problem_from_csc(A_csc, b, c, P_upper_csc=None, dtype=jnp.float64) -> Problem:
+    """Build a dense Problem from scipy-style CSC inputs (reference data format).
+
+    ``P_upper_csc`` holds only the upper triangle, as the reference requires
+    (include/scs.h:111-114); it is symmetrized here.
+    """
+    A = jnp.asarray(np.asarray(A_csc.todense()), dtype=dtype)
+    P = None
+    if P_upper_csc is not None:
+        Pu = np.asarray(P_upper_csc.todense())
+        P = Pu + Pu.T - np.diag(np.diag(Pu))
+        P = jnp.asarray(P, dtype=dtype)
+    return Problem(A=A, b=jnp.asarray(b, dtype=dtype), c=jnp.asarray(c, dtype=dtype), P=P)
+
+
+@dataclasses.dataclass(frozen=True)
+class ConeSpec:
+    """Static cone layout (hashable; part of the compiled program's shape).
+
+    Mirrors ScsCone (include/scs.h:121-172). Rows of A must follow this exact
+    order: zero, nonnegative, box, SOC blocks, PSD blocks, complex-PSD blocks,
+    primal exp triples, dual exp triples, power triples. Numeric cone data
+    (box bounds bu/bl, power exponents) live in :class:`ConeData`.
+    """
+
+    z: int = 0                      # zero cone (equalities)
+    l: int = 0                      # nonnegative orthant
+    bsize: int = 0                  # box cone total length (incl. scale t); 0 = absent
+    q: tuple[int, ...] = ()         # second-order cone sizes
+    s: tuple[int, ...] = ()         # PSD cone matrix dims (packed size n(n+1)/2)
+    cs: tuple[int, ...] = ()        # complex PSD dims (packed size n^2 reals)
+    ep: int = 0                     # primal exponential cone triples
+    ed: int = 0                     # dual exponential cone triples
+    # power cone exponents; static floats, sign selects primal (>=0) / dual (<0)
+    p: tuple[float, ...] = ()
+
+    @property
+    def psize(self) -> int:
+        return len(self.p)
+
+    def dims(self) -> int:
+        """Total number of rows m implied by the cone layout."""
+        d = self.z + self.l + self.bsize
+        d += sum(self.q)
+        d += sum(si * (si + 1) // 2 for si in self.s)
+        d += sum(ci * ci for ci in self.cs)
+        d += 3 * (self.ep + self.ed + self.psize)
+        return d
+
+    def num_cones(self) -> int:
+        return (len(self.q) + len(self.s) + len(self.cs) + self.ep + self.ed
+                + self.psize)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class ConeData:
+    """Per-cone numeric data (device arrays). Empty arrays when absent."""
+
+    bu: jax.Array  # (max(bsize-1, 0),) upper box bounds
+    bl: jax.Array  # (max(bsize-1, 0),) lower box bounds
+
+    @staticmethod
+    def make(spec: ConeSpec, bu=None, bl=None, dtype=jnp.float64) -> "ConeData":
+        nb = max(spec.bsize - 1, 0)
+        if nb:
+            if bu is None or bl is None:
+                raise ValueError("box cone requires bu and bl of length bsize-1")
+            bu = jnp.asarray(bu, dtype=dtype)
+            bl = jnp.asarray(bl, dtype=dtype)
+            if bu.shape != (nb,) or bl.shape != (nb,):
+                raise ValueError(f"bu/bl must have shape ({nb},)")
+        else:
+            bu = jnp.zeros((0,), dtype=dtype)
+            bl = jnp.zeros((0,), dtype=dtype)
+        return ConeData(bu=bu, bl=bl)
+
+
+@dataclasses.dataclass(frozen=True)
+class Settings:
+    """Solver settings with reference defaults (include/scs.h:60-101, glbopts.h:35-52)."""
+
+    normalize: bool = config.NORMALIZE
+    scale: float = config.SCALE
+    adaptive_scale: bool = config.ADAPTIVE_SCALE
+    rho_x: float = config.RHO_X
+    max_iters: int = config.MAX_ITERS
+    eps_abs: float = config.EPS_ABS
+    eps_rel: float = config.EPS_REL
+    eps_infeas: float = config.EPS_INFEAS
+    alpha: float = config.ALPHA
+    time_limit_secs: float = config.TIME_LIMIT_SECS
+    verbose: bool = False
+    warm_start: bool = False
+    acceleration_lookback: int = config.ACCELERATION_LOOKBACK
+    acceleration_interval: int = config.ACCELERATION_INTERVAL
+    acceleration_type_1: bool = config.ACCELERATION_TYPE_1
+    acceleration_regularization: float = config.AA_REGULARIZATION
+    acceleration_relaxation: float = config.AA_RELAXATION
+    # TPU-specific knobs (no reference analog):
+    linsys: str = "indirect"     # "indirect" (CG) or "direct" (dense Cholesky)
+    dtype: Any = jnp.float64
+    # iterations dispatched per device program before host-side checks
+    # (time limit / verbose printing); residual checks stay on-device
+    chunk_iters: int = 2500
+
+
+@dataclasses.dataclass
+class Solution:
+    """Primal/dual solution or certificate (include/scs.h:174-187)."""
+
+    x: Any = None
+    y: Any = None
+    s: Any = None
+
+
+@dataclasses.dataclass
+class Info:
+    """Solve diagnostics (subset of ScsInfo, include/scs.h:189-244)."""
+
+    iter: int = 0
+    status: str = "unfinished"
+    status_val: int = config.UNFINISHED
+    scale_updates: int = 0
+    pobj: float = float("nan")
+    dobj: float = float("nan")
+    res_pri: float = float("nan")
+    res_dual: float = float("nan")
+    gap: float = float("nan")
+    res_infeas: float = float("nan")
+    res_unbdd_a: float = float("nan")
+    res_unbdd_p: float = float("nan")
+    setup_time: float = 0.0   # milliseconds
+    solve_time: float = 0.0   # milliseconds
+    scale: float = 0.0
+    comp_slack: float = float("nan")
+    rejected_accel_steps: int = 0
+    accepted_accel_steps: int = 0
+    lin_sys_solver: str = ""

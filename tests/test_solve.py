@@ -1,0 +1,216 @@
+"""Integration tests: planted-optimum problems across cone families and both
+linear-system backends, plus infeasibility/unboundedness certificates.
+
+Mirrors the reference test strategy (test/run_tests.c + problem_utils.h):
+the same suite runs against every linsys backend — that is the backend-
+conformance mechanism."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import scs_tpu
+from scs_tpu import config
+from scs_tpu.models import gen_infeasible, gen_planted, gen_unbounded
+from scs_tpu.types import ConeData, ConeSpec, Settings
+
+from helpers import verify_solution
+
+BACKENDS = ["indirect", "direct"]
+
+
+def _settings(backend, **kw):
+    return Settings(linsys=backend, **kw)
+
+
+@pytest.mark.parametrize("backend", BACKENDS)
+def test_small_lp(backend):
+    """Planted LP, n=100 m=300, eps=1e-5 (small_lp.h:31-45)."""
+    spec = ConeSpec(l=300)
+    p = gen_planted(spec, n=100, seed=42, density=0.1)
+    stg = _settings(backend, eps_abs=1e-5, eps_rel=1e-5)
+    sol, info = scs_tpu.solve(p.problem, spec, p.cone_data, stg)
+    assert info.status_val == config.SOLVED, info.status
+    assert abs(info.pobj - p.opt) < 1e-4 * (1 + abs(p.opt))
+    verify_solution(p.problem, spec, p.cone_data, stg, info, sol,
+                    info.status_val)
+
+
+@pytest.mark.parametrize("backend", BACKENDS)
+def test_small_qp(backend):
+    spec = ConeSpec(l=150)
+    p = gen_planted(spec, n=50, seed=7, density=0.2, with_P=True)
+    stg = _settings(backend, eps_abs=1e-5, eps_rel=1e-5)
+    sol, info = scs_tpu.solve(p.problem, spec, p.cone_data, stg)
+    assert info.status_val == config.SOLVED, info.status
+    assert abs(info.pobj - p.opt) < 1e-4 * (1 + abs(p.opt))
+    verify_solution(p.problem, spec, p.cone_data, stg, info, sol,
+                    info.status_val)
+
+
+@pytest.mark.parametrize("backend", BACKENDS)
+def test_small_socp(backend):
+    spec = ConeSpec(z=5, l=20, q=(5, 5, 5, 10))
+    p = gen_planted(spec, n=30, seed=3, density=0.3)
+    stg = _settings(backend)
+    sol, info = scs_tpu.solve(p.problem, spec, p.cone_data, stg)
+    assert info.status_val == config.SOLVED, info.status
+    assert abs(info.pobj - p.opt) < 1e-3 * (1 + abs(p.opt))
+    verify_solution(p.problem, spec, p.cone_data, stg, info, sol,
+                    info.status_val)
+
+
+@pytest.mark.parametrize("backend", BACKENDS)
+def test_small_sdp(backend):
+    spec = ConeSpec(l=5, s=(4, 4))
+    p = gen_planted(spec, n=15, seed=11, density=0.5)
+    stg = _settings(backend)
+    sol, info = scs_tpu.solve(p.problem, spec, p.cone_data, stg)
+    assert info.status_val == config.SOLVED, info.status
+    verify_solution(p.problem, spec, p.cone_data, stg, info, sol,
+                    info.status_val)
+
+
+@pytest.mark.parametrize("backend", BACKENDS)
+def test_exp_cone_problem(backend):
+    spec = ConeSpec(l=6, ep=3, ed=2)
+    p = gen_planted(spec, n=12, seed=13, density=0.5)
+    stg = _settings(backend)
+    sol, info = scs_tpu.solve(p.problem, spec, p.cone_data, stg)
+    assert info.status_val == config.SOLVED, info.status
+    verify_solution(p.problem, spec, p.cone_data, stg, info, sol,
+                    info.status_val)
+
+
+@pytest.mark.parametrize("backend", BACKENDS)
+def test_power_cone_problem(backend):
+    spec = ConeSpec(l=4, p=(0.4, -0.7, 0.25))
+    p = gen_planted(spec, n=10, seed=17, density=0.5)
+    stg = _settings(backend)
+    sol, info = scs_tpu.solve(p.problem, spec, p.cone_data, stg)
+    assert info.status_val == config.SOLVED, info.status
+    verify_solution(p.problem, spec, p.cone_data, stg, info, sol,
+                    info.status_val)
+
+
+@pytest.mark.parametrize("backend", BACKENDS)
+def test_box_cone_problem(backend):
+    spec = ConeSpec(z=2, l=5, bsize=6)
+    rng = np.random.RandomState(23)
+    cd = ConeData.make(spec, bu=rng.uniform(0.5, 2.0, 5),
+                       bl=rng.uniform(-2.0, -0.5, 5))
+    p = gen_planted(spec, n=10, seed=23, density=0.5, cone_data=cd)
+    stg = _settings(backend)
+    sol, info = scs_tpu.solve(p.problem, spec, p.cone_data, stg)
+    assert info.status_val == config.SOLVED, info.status
+    verify_solution(p.problem, spec, p.cone_data, stg, info, sol,
+                    info.status_val)
+
+
+@pytest.mark.parametrize("backend", BACKENDS)
+def test_mixed_cones(backend):
+    spec = ConeSpec(z=3, l=8, q=(4, 6), s=(3,), ep=2, ed=1, p=(0.6, -0.4))
+    p = gen_planted(spec, n=25, seed=29, density=0.4)
+    stg = _settings(backend)
+    sol, info = scs_tpu.solve(p.problem, spec, p.cone_data, stg)
+    assert info.status_val == config.SOLVED, info.status
+    verify_solution(p.problem, spec, p.cone_data, stg, info, sol,
+                    info.status_val)
+
+
+@pytest.mark.parametrize("backend", BACKENDS)
+def test_infeasible_lp(backend):
+    spec = ConeSpec(l=40)
+    prob, cd, _y0 = gen_infeasible(spec, n=15, seed=31)
+    stg = _settings(backend)
+    sol, info = scs_tpu.solve(prob, spec, cd, stg)
+    assert info.status_val == config.INFEASIBLE, info.status
+    verify_solution(prob, spec, cd, stg, info, sol, info.status_val)
+
+
+@pytest.mark.parametrize("backend", BACKENDS)
+def test_infeasible_socp(backend):
+    spec = ConeSpec(l=10, q=(5, 8))
+    prob, cd, _ = gen_infeasible(spec, n=10, seed=37)
+    stg = _settings(backend)
+    sol, info = scs_tpu.solve(prob, spec, cd, stg)
+    assert info.status_val == config.INFEASIBLE, info.status
+    verify_solution(prob, spec, cd, stg, info, sol, info.status_val)
+
+
+@pytest.mark.parametrize("backend", BACKENDS)
+def test_unbounded_lp(backend):
+    spec = ConeSpec(l=30)
+    prob, cd, _x0 = gen_unbounded(spec, n=12, seed=41)
+    stg = _settings(backend)
+    sol, info = scs_tpu.solve(prob, spec, cd, stg)
+    assert info.status_val == config.UNBOUNDED, info.status
+    verify_solution(prob, spec, cd, stg, info, sol, info.status_val)
+
+
+@pytest.mark.parametrize("backend", BACKENDS)
+def test_unbounded_socp(backend):
+    spec = ConeSpec(l=8, q=(6,))
+    prob, cd, _ = gen_unbounded(spec, n=10, seed=43)
+    stg = _settings(backend)
+    sol, info = scs_tpu.solve(prob, spec, cd, stg)
+    assert info.status_val == config.UNBOUNDED, info.status
+    verify_solution(prob, spec, cd, stg, info, sol, info.status_val)
+
+
+def test_degenerate():
+    """LP with redundant rows (degenerate.h analog)."""
+    spec = ConeSpec(l=40)
+    p = gen_planted(spec, n=20, seed=47, density=0.3)
+    A = np.array(p.problem.A)
+    b = np.array(p.problem.b)
+    A[20:] = A[:20]   # duplicate rows
+    b[20:] = b[:20]
+    prob = scs_tpu.Problem(A=jnp.asarray(A), b=jnp.asarray(b), c=p.problem.c)
+    sol, info = scs_tpu.solve(prob, spec, p.cone_data, Settings())
+    assert info.status_val == config.SOLVED, info.status
+
+
+def test_hs21_tiny_qp():
+    """Netlib HS21 with box cone; known optimum 0.04 (hs21_tiny_qp.h)."""
+    A = np.zeros((4, 2))
+    A[1, 0] = -10.0
+    A[2, 0] = -1.0
+    A[1, 1] = 1.0
+    A[3, 1] = -1.0
+    P = np.diag([0.02, 2.0])
+    b = np.array([1.0, 0.0, 0.0, 0.0])
+    c = np.array([0.0, 0.0])
+    spec = ConeSpec(bsize=4)
+    cd = ConeData.make(spec, bu=[1e20, 50.0, 50.0], bl=[10.0, 2.0, -50.0])
+    prob = scs_tpu.Problem(A=jnp.asarray(A), b=jnp.asarray(b),
+                           c=jnp.asarray(c), P=jnp.asarray(P))
+    stg = Settings(eps_abs=1e-6, eps_rel=1e-6)
+    sol, info = scs_tpu.solve(prob, spec, cd, stg)
+    assert info.status_val == config.SOLVED, info.status
+    assert abs(info.pobj - 0.04) < 1e-4
+
+
+def test_tiny_lp_analytic():
+    """min x s.t. x >= 2 -> x* = 2 (lp_update.h:9-20)."""
+    spec = ConeSpec(l=1)
+    prob = scs_tpu.Problem(A=jnp.asarray([[-1.0]]), b=jnp.asarray([-2.0]),
+                           c=jnp.asarray([1.0]))
+    sol, info = scs_tpu.solve(prob, spec, settings=Settings(eps_abs=1e-7,
+                                                            eps_rel=1e-7))
+    assert info.status_val == config.SOLVED
+    assert abs(sol.x[0] - 2.0) < 1e-5
+    assert abs(info.pobj - 2.0) < 1e-5
+
+
+def test_max_iters_inaccurate():
+    """Stopping at max_iters must return a *_INACCURATE status
+    (test_inaccurate.h analog)."""
+    spec = ConeSpec(l=100)
+    p = gen_planted(spec, n=40, seed=53, density=0.3)
+    stg = Settings(max_iters=2, acceleration_lookback=0)
+    sol, info = scs_tpu.solve(p.problem, spec, p.cone_data, stg)
+    assert info.status_val in (config.SOLVED_INACCURATE,
+                               config.INFEASIBLE_INACCURATE,
+                               config.UNBOUNDED_INACCURATE)
+    assert "inaccurate" in info.status
