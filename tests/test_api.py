@@ -1,0 +1,173 @@
+"""API behavior tests: b/c updates, warm starts, option sweeps, validation
+(ports of lp_update.h, test_solver_options.h, test_validation.h,
+test_normalize_roundtrip.h)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import scs_tpu
+from scs_tpu import config
+from scs_tpu.equilibrate import normalize_xys, unnormalize_xys, equilibrate
+from scs_tpu.models import gen_planted
+from scs_tpu.types import ConeSpec, Settings
+from scs_tpu.validation import ValidationError
+
+
+def _tiny_lp():
+    """min x s.t. x >= 2 (lp_update.h)."""
+    spec = ConeSpec(l=1)
+    prob = scs_tpu.Problem(A=jnp.asarray([[-1.0]]), b=jnp.asarray([-2.0]),
+                           c=jnp.asarray([1.0]))
+    return prob, spec
+
+
+def test_lp_update_b_c():
+    prob, spec = _tiny_lp()
+    stg = Settings(eps_abs=1e-7, eps_rel=1e-7)
+    w = scs_tpu.Workspace(prob, spec, settings=stg)
+    sol, info = w.solve()
+    assert info.status_val == config.SOLVED
+    assert abs(info.pobj - 2.0) < 1e-5
+
+    w.update(b=np.array([-3.0]))            # x >= 3 -> obj 3
+    sol, info = w.solve(warm_start=True, sol=sol)
+    assert info.status_val == config.SOLVED
+    assert abs(info.pobj - 3.0) < 1e-5
+
+    w.update(c=np.array([2.0]))             # min 2x s.t. x >= 3 -> obj 6
+    sol, info = w.solve(warm_start=True, sol=sol)
+    assert info.status_val == config.SOLVED
+    assert abs(info.pobj - 6.0) < 1e-5
+
+    w.update(b=np.array([-2.0]), c=np.array([1.0]))  # back to original
+    sol, info = w.solve(warm_start=True, sol=sol)
+    assert info.status_val == config.SOLVED
+    assert abs(info.pobj - 2.0) < 1e-5
+
+
+def test_warm_start_fewer_iters():
+    spec = ConeSpec(l=120)
+    p = gen_planted(spec, n=40, seed=61, density=0.2)
+    w = scs_tpu.Workspace(p.problem, spec, p.cone_data, Settings())
+    sol, info_cold = w.solve()
+    assert info_cold.status_val == config.SOLVED
+    sol2, info_warm = w.solve(warm_start=True, sol=sol)
+    assert info_warm.status_val == config.SOLVED
+    assert info_warm.iter <= info_cold.iter
+
+
+@pytest.mark.parametrize("opts", [
+    dict(adaptive_scale=False),
+    dict(acceleration_lookback=0),
+    dict(acceleration_type_1=False),
+    dict(acceleration_lookback=5, acceleration_interval=5),
+    dict(acceleration_relaxation=1.5),
+    dict(acceleration_regularization=1e-6),
+    dict(normalize=False),
+    dict(alpha=1.0),
+    dict(rho_x=1e-3),
+    dict(scale=1.0),
+    dict(linsys="direct", adaptive_scale=False),
+])
+def test_option_sweep(opts):
+    """1-variable LP re-solved under option sweeps (test_solver_options.h)."""
+    prob, spec = _tiny_lp()
+    stg = Settings(eps_abs=1e-6, eps_rel=1e-6, **opts)
+    sol, info = scs_tpu.solve(prob, spec, settings=stg)
+    assert info.status_val == config.SOLVED, (opts, info.status)
+    assert abs(info.pobj - 2.0) < 1e-4, opts
+
+
+@pytest.mark.parametrize("bad", [
+    dict(max_iters=0),
+    dict(eps_abs=-1.0),
+    dict(eps_rel=float("nan")),
+    dict(alpha=2.5),
+    dict(alpha=0.0),
+    dict(rho_x=-1e-6),
+    dict(scale=0.0),
+    dict(time_limit_secs=-1.0),
+    dict(acceleration_interval=0),
+    dict(acceleration_lookback=-1),
+    dict(acceleration_relaxation=3.0),
+])
+def test_invalid_settings_rejected(bad):
+    prob, spec = _tiny_lp()
+    with pytest.raises(ValidationError):
+        scs_tpu.solve(prob, spec, settings=Settings(**bad))
+
+
+def test_invalid_data_rejected():
+    spec = ConeSpec(l=2)
+    A = jnp.asarray([[1.0], [2.0]])
+    with pytest.raises(ValidationError):  # cone dims mismatch
+        scs_tpu.solve(scs_tpu.Problem(A=A, b=jnp.zeros(2), c=jnp.zeros(1)),
+                      ConeSpec(l=3))
+    with pytest.raises(ValidationError):  # non-finite entries
+        scs_tpu.solve(scs_tpu.Problem(A=A, b=jnp.asarray([jnp.nan, 0.0]),
+                                      c=jnp.zeros(1)), spec)
+    with pytest.raises(ValidationError):  # asymmetric P
+        scs_tpu.solve(scs_tpu.Problem(
+            A=jnp.ones((2, 2)), b=jnp.zeros(2), c=jnp.zeros(2),
+            P=jnp.asarray([[1.0, 2.0], [0.0, 1.0]])), ConeSpec(l=2))
+
+
+def test_time_limit():
+    spec = ConeSpec(l=200)
+    p = gen_planted(spec, n=80, seed=67, density=0.3)
+    stg = Settings(time_limit_secs=1e-9, chunk_iters=25,
+                   eps_abs=1e-14, eps_rel=1e-14)
+    sol, info = scs_tpu.solve(p.problem, spec, p.cone_data, stg)
+    assert "time_limit" in info.status or info.status_val == config.SOLVED
+
+
+def test_normalize_roundtrip():
+    """D/E/sigma round-trip of a solution (test_normalize_roundtrip.h)."""
+    spec = ConeSpec(z=2, l=10, q=(4,))
+    p = gen_planted(spec, n=8, seed=71)
+    A, P, scal = equilibrate(p.problem.A, None, spec)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(8))
+    y = jnp.asarray(rng.randn(16))
+    s = jnp.asarray(rng.randn(16))
+    xn, yn, sn = normalize_xys(scal, x, y, s)
+    x2, y2, s2 = unnormalize_xys(scal, xn, yn, sn)
+    np.testing.assert_allclose(np.asarray(x2), np.asarray(x), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(y2), np.asarray(y), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(s2), np.asarray(s), atol=1e-12)
+
+
+def test_equilibrate_reduces_dynamic_range():
+    rng = np.random.RandomState(3)
+    spec = ConeSpec(l=30)
+    A0 = rng.randn(30, 12) * np.exp(rng.uniform(-6, 6, (30, 12)))
+    A, P, scal = equilibrate(jnp.asarray(A0), None, spec)
+    A = np.asarray(A)
+    rows = np.max(np.abs(A), axis=1)
+    cols = np.max(np.abs(A), axis=0)
+    assert rows.max() / rows.min() < 10.0
+    assert cols.max() / cols.min() < 10.0
+    # scaling consistency: A == D A0 E
+    D = np.asarray(scal.D)
+    E = np.asarray(scal.E)
+    np.testing.assert_allclose(A, D[:, None] * A0 * E[None, :], rtol=1e-10)
+
+
+def test_solve_f32():
+    """f32 (the SFLOAT analog) must solve loose-tolerance problems."""
+    spec = ConeSpec(l=60)
+    p = gen_planted(spec, n=20, seed=73, density=0.3)
+    stg = Settings(dtype=jnp.float32, eps_abs=1e-3, eps_rel=1e-3)
+    sol, info = scs_tpu.solve(p.problem, spec, p.cone_data, stg)
+    assert info.status_val in (config.SOLVED, config.SOLVED_INACCURATE)
+
+
+def test_aa_stats_reported():
+    spec = ConeSpec(l=100)
+    p = gen_planted(spec, n=40, seed=79, density=0.2)
+    sol, info = scs_tpu.solve(p.problem, spec, p.cone_data, Settings())
+    assert info.accepted_accel_steps + info.rejected_accel_steps >= 0
+    # AA on by default: with enough iterations some steps must be attempted
+    if info.iter > 150:
+        assert info.accepted_accel_steps + info.rejected_accel_steps > 0

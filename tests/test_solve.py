@@ -159,16 +159,19 @@ def test_unbounded_socp(backend):
 
 
 def test_degenerate():
-    """LP with redundant rows (degenerate.h analog)."""
-    spec = ConeSpec(l=40)
-    p = gen_planted(spec, n=20, seed=47, density=0.3)
+    """LP with duplicated (redundant) constraint rows (degenerate.h analog)."""
+    base = ConeSpec(l=20)
+    p = gen_planted(base, n=20, seed=47, density=0.3)
     A = np.array(p.problem.A)
     b = np.array(p.problem.b)
-    A[20:] = A[:20]   # duplicate rows
-    b[20:] = b[:20]
-    prob = scs_tpu.Problem(A=jnp.asarray(A), b=jnp.asarray(b), c=p.problem.c)
-    sol, info = scs_tpu.solve(prob, spec, p.cone_data, Settings())
+    A2 = np.vstack([A, A])   # every constraint twice -> same feasible set
+    b2 = np.concatenate([b, b])
+    spec = ConeSpec(l=40)
+    prob = scs_tpu.Problem(A=jnp.asarray(A2), b=jnp.asarray(b2),
+                           c=p.problem.c)
+    sol, info = scs_tpu.solve(prob, spec, None, Settings())
     assert info.status_val == config.SOLVED, info.status
+    assert abs(info.pobj - p.opt) < 1e-3 * (1 + abs(p.opt))
 
 
 def test_hs21_tiny_qp():
