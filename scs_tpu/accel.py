@@ -65,6 +65,31 @@ def _reset(a: AAState) -> AAState:
         nrm_s=jnp.zeros_like(a.nrm_s), nrm_y=jnp.zeros_like(a.nrm_y))
 
 
+def _small_solve(G, rhs, mem: int):
+    """Partial-pivoted Gaussian elimination for the (mem x mem) AA system.
+
+    TPU f64 has no LU decomposition (jnp.linalg.solve lowers to LU); mem is
+    tiny (default 10) and static, so an unrolled elimination is both portable
+    and cheap. Singular G yields non-finite gamma, which the caller's
+    finiteness check converts into a rejection (gesv-failure analog).
+    """
+    aug = jnp.concatenate([G, rhs[:, None]], axis=1)  # (mem, mem+1)
+    for k in range(mem):
+        col = jnp.abs(aug[:, k])
+        col = jnp.where(jnp.arange(mem) < k, -jnp.inf, col)
+        piv = jnp.argmax(col)
+        # swap rows k <-> piv
+        rk = aug[k]
+        rp = aug[piv]
+        aug = aug.at[k].set(rp).at[piv].set(rk)
+        pivot = aug[k, k]
+        factor = aug[:, k] / pivot
+        factor = jnp.where(jnp.arange(mem) == k, 0.0, factor)
+        aug = aug - factor[:, None] * aug[k][None, :]
+    x = aug[:, mem] / jnp.diagonal(aug[:, :mem])
+    return x
+
+
 def _frob_from_cols(nrm):
     m = jnp.max(nrm)
     safe_m = jnp.where(m > 0, m, 1.0)
@@ -120,7 +145,7 @@ def aa_apply(a: AAState, f, x, *, mem: int, type1: bool,
         G = A_mat @ B_mat.T
         G = G + (r + (1.0 - mask)) * jnp.eye(mem, dtype=dtype)
         rhs = A_mat @ g
-        gamma = jnp.linalg.solve(G, rhs) * mask
+        gamma = _small_solve(G, rhs, mem) * mask
         aa_norm = jnp.linalg.norm(gamma)
 
         do_solve = a.it >= mem  # min_len = mem: wait until window is full

@@ -112,27 +112,39 @@ def _cplx_indices(ns: int):
 
 
 def proj_cpsd_batch(v: jnp.ndarray, ns: int) -> jnp.ndarray:
-    """Project (k, ns^2) real-packed vectors onto the complex PSD cone."""
+    """Project (k, ns^2) real-packed vectors onto the complex PSD cone.
+
+    Uses the real embedding of a Hermitian matrix M = Re + i Im:
+        E(M) = [Re, -Im; Im, Re]  (2ns x 2ns real symmetric)
+    E is a *-algebra homomorphism, so the PSD projection commutes with it:
+    proj(E(M)) = E(proj(M)), with each eigenvalue of M appearing twice.
+    This keeps the projection in real f64 eigh (TPU has no complex128 eigh).
+    """
     if ns == 1:
         return jnp.maximum(v, 0.0)
     diag_idx, re_idx, im_idx, lo_r, lo_c = _cplx_indices(ns)
-    cdtype = jnp.complex64 if v.dtype == jnp.float32 else jnp.complex128
     inv_sqrt2 = 1.0 / _SQRT2
 
     def one(vi):
-        M = jnp.zeros((ns, ns), dtype=cdtype)
-        M = M.at[jnp.arange(ns), jnp.arange(ns)].set(vi[diag_idx].astype(cdtype))
-        lo = (vi[re_idx] + 1j * vi[im_idx]) * inv_sqrt2
-        M = M.at[lo_r, lo_c].set(lo.astype(cdtype))
-        M = M.at[lo_c, lo_r].set(jnp.conj(lo).astype(cdtype))
-        w, V = jnp.linalg.eigh(M)
+        Re = jnp.zeros((ns, ns), v.dtype)
+        Im = jnp.zeros((ns, ns), v.dtype)
+        Re = Re.at[jnp.arange(ns), jnp.arange(ns)].set(vi[diag_idx])
+        lo_re = vi[re_idx] * inv_sqrt2
+        lo_im = vi[im_idx] * inv_sqrt2
+        Re = Re.at[lo_r, lo_c].set(lo_re)
+        Re = Re.at[lo_c, lo_r].set(lo_re)
+        Im = Im.at[lo_r, lo_c].set(lo_im)
+        Im = Im.at[lo_c, lo_r].set(-lo_im)
+        E = jnp.block([[Re, -Im], [Im, Re]])
+        w, V = jnp.linalg.eigh(E)
         w = jnp.maximum(w, 0.0)
-        Mp = (V * w[None, :].astype(cdtype)) @ jnp.conj(V.T)
+        Ep = (V * w[None, :]) @ V.T
+        Re_p = 0.5 * (Ep[:ns, :ns] + Ep[ns:, ns:])
+        Im_p = 0.5 * (Ep[ns:, :ns] - Ep[:ns, ns:])
         out = jnp.zeros_like(vi)
-        out = out.at[diag_idx].set(jnp.real(jnp.diagonal(Mp)))
-        lo_p = Mp[lo_r, lo_c] * _SQRT2
-        out = out.at[re_idx].set(jnp.real(lo_p))
-        out = out.at[im_idx].set(jnp.imag(lo_p))
+        out = out.at[diag_idx].set(jnp.diagonal(Re_p))
+        out = out.at[re_idx].set(Re_p[lo_r, lo_c] * _SQRT2)
+        out = out.at[im_idx].set(Im_p[lo_r, lo_c] * _SQRT2)
         return out
 
     return jax.vmap(one)(v)

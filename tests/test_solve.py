@@ -71,6 +71,36 @@ def test_small_sdp(backend):
                     info.status_val)
 
 
+def test_complex_psd():
+    """Complex PSD cone via real-symmetric embedding (complex_PSD.h analog)."""
+    spec = ConeSpec(l=4, cs=(3,))
+    p = gen_planted(spec, n=10, seed=19, density=0.5)
+    stg = Settings()
+    sol, info = scs_tpu.solve(p.problem, spec, p.cone_data, stg)
+    assert info.status_val == config.SOLVED, info.status
+    verify_solution(p.problem, spec, p.cone_data, stg, info, sol,
+                    info.status_val)
+
+
+def test_sd_and_complex_sd():
+    """Real + complex PSD blocks together (sd_and_complex_sd.h analog)."""
+    spec = ConeSpec(z=2, l=3, s=(3,), cs=(2, 2))
+    p = gen_planted(spec, n=12, seed=21, density=0.5)
+    stg = Settings()
+    sol, info = scs_tpu.solve(p.problem, spec, p.cone_data, stg)
+    assert info.status_val == config.SOLVED, info.status
+    verify_solution(p.problem, spec, p.cone_data, stg, info, sol,
+                    info.status_val)
+
+
+def test_psd_n1():
+    """1x1 PSD block edge case (test_psd_n1.h)."""
+    spec = ConeSpec(l=2, s=(1,))
+    p = gen_planted(spec, n=5, seed=22, density=0.8)
+    sol, info = scs_tpu.solve(p.problem, spec, p.cone_data, Settings())
+    assert info.status_val == config.SOLVED, info.status
+
+
 @pytest.mark.parametrize("backend", BACKENDS)
 def test_exp_cone_problem(backend):
     spec = ConeSpec(l=6, ep=3, ed=2)
