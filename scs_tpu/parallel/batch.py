@@ -1,0 +1,245 @@
+"""Fully device-side solves: vmappable over problem batches, shardable over
+device meshes.
+
+This is the TPU scale-out capability that has no reference analog (the
+reference is single-process; SURVEY.md section 2.4): the whole solve —
+equilibration, factorization, the ADMM while_loop, finalization — is one
+pure function of the problem arrays, so
+
+  * `jax.vmap` batches thousands of same-shape problems per chip
+    (the batch axis is this solver's data parallelism), and
+  * `jax.sharding` lays the batch across a mesh axis and/or shards the
+    constraint-matrix rows across another, with XLA inserting the psum /
+    all-gather collectives for the CG dot products and residual norms.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from .. import config
+from ..accel import aa_init
+from ..equilibrate import (equilibrate, identity_scaling, normalize_b_c,
+                           unnormalize_xys)
+from ..cones.box import scale_box_bounds
+from ..linsys import get_backend
+from ..solver import (LoopState, ProblemData, Residuals, make_step,
+                      populate_residuals, set_diag_r)
+from ..types import ConeData, ConeSpec, Settings
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class SolveResult:
+    """Device-side solution + diagnostics (finalized)."""
+
+    x: jax.Array
+    y: jax.Array
+    s: jax.Array
+    status: jax.Array        # int32 exit flag
+    iters: jax.Array
+    pobj: jax.Array
+    dobj: jax.Array
+    res_pri: jax.Array
+    res_dual: jax.Array
+    gap: jax.Array
+    tau: jax.Array
+    scale_updates: jax.Array
+    tot_cg_its: jax.Array
+
+
+def make_solver_parts(spec: ConeSpec, stg: Settings):
+    """Build (init_fn, chunk_fn, final_fn), each pure/jittable/vmappable.
+
+    init_fn(A, P, b, c, bu, bl) -> (data, state): equilibrate + factor + cold
+        start (scs_init analog).
+    chunk_fn(data, state, iter_cap) -> state: run the ADMM while_loop until
+        termination or iter_cap (bounds single device-program runtime).
+    final_fn(data, state) -> SolveResult.
+    """
+    backend = get_backend(stg.linsys)
+    step, _ = make_step(spec, stg)
+
+    def init_fn(A, P, b, c, bu, bl):
+        dtype = A.dtype
+        m, n = A.shape
+        l = n + m + 1
+
+        # ---- init (scs_init analog, on device) ----
+        if stg.normalize:
+            A_n, P_n, scal = equilibrate(A, P, spec)
+            if spec.bsize > 1:
+                d_box = scal.D[spec.z + spec.l: spec.z + spec.l + spec.bsize]
+                bu_n, bl_n = scale_box_bounds(bu, bl, d_box)
+            else:
+                bu_n, bl_n = bu, bl
+            b_n, c_n, scal = normalize_b_c(scal, b, c)
+        else:
+            A_n, P_n, scal = A, P, identity_scaling(m, n, dtype)
+            b_n, c_n = b, c
+            bu_n, bl_n = bu, bl
+
+        data = ProblemData(
+            A=A_n, P=P_n, b=b_n, c=c_n, b_orig=b, c_orig=c,
+            nm_b_orig=jnp.max(jnp.abs(b)), nm_c_orig=jnp.max(jnp.abs(c)),
+            scal=scal, cone=ConeData(bu=bu_n, bl=bl_n))
+
+        diag_r = set_diag_r(spec, n, m, jnp.asarray(stg.scale, dtype),
+                            stg.rho_x, dtype)
+        derived = backend.derive(A_n, P_n, diag_r)
+        h = jnp.concatenate([c_n, -b_n])
+        g, _ = backend.solve(A_n, P_n, diag_r, derived, h, None,
+                             jnp.asarray(config.CG_BEST_TOL, dtype))
+
+        zero_l = jnp.zeros((l,), dtype)
+        zf = jnp.zeros((), dtype)
+        zi = jnp.zeros((), jnp.int32)
+        st = LoopState(
+            u=zero_l, u_t=zero_l, v=zero_l.at[l - 1].set(1.0),
+            v_prev=zero_l.at[l - 1].set(1.0), rsk=zero_l,
+            diag_r=diag_r, g=g, derived=derived,
+            scale=jnp.asarray(stg.scale, dtype),
+            box_t_warm=jnp.ones((), dtype), res=Residuals.zeros(dtype),
+            sum_log_scale_factor=zf, n_log_scale_factor=zf,
+            last_scale_update_iter=zi, scale_updates=zi, status=zi, iter=zi,
+            aa=aa_init(l, max(stg.acceleration_lookback, 1), dtype),
+            aa_norm=zf, accepted_accel=zi, rejected_accel=zi, tot_cg_its=zi)
+        return data, st
+
+    def chunk_fn(data: ProblemData, st: LoopState, iter_cap) -> LoopState:
+        return jax.lax.while_loop(
+            lambda s: (s.status == config.UNFINISHED) & (s.iter < iter_cap),
+            lambda s: step(data, s), st)
+
+    def final_fn(data: ProblemData, st: LoopState) -> SolveResult:
+        m, n = data.A.shape
+        dtype = st.u.dtype
+        # finalize (scs.c:847-966), branch-free on device
+        r = populate_residuals(data, spec, st.u, st.rsk, st.iter)
+        x = st.u[:n]
+        y = st.u[n:n + m]
+        s_ = st.rsk[n:n + m]
+        if stg.normalize:
+            x, y, s_ = unnormalize_xys(data.scal, x, y, s_)
+
+        tau, kap = r.tau, r.kap
+        status = st.status
+        # resolve UNFINISHED into inaccurate statuses (set_unfinished)
+        cert_like = (kap > tau) & ((r.bty_tau < 0) | (r.ctx_tau < 0))
+        infeas_like = (r.bty_tau < 0) & (r.bty_tau < r.ctx_tau)
+        unfinished_status = jnp.where(
+            cert_like,
+            jnp.where(infeas_like, config.INFEASIBLE_INACCURATE,
+                      config.UNBOUNDED_INACCURATE),
+            jnp.where(tau > 0, config.SOLVED_INACCURATE, config.FAILED))
+        status = jnp.where(status == config.UNFINISHED,
+                           unfinished_status.astype(jnp.int32), status)
+
+        is_solved = (status == config.SOLVED) | (status == config.SOLVED_INACCURATE)
+        is_infeas = ((status == config.INFEASIBLE)
+                     | (status == config.INFEASIBLE_INACCURATE))
+        is_unbdd = ((status == config.UNBOUNDED)
+                    | (status == config.UNBOUNDED_INACCURATE))
+
+        inv_tau = jnp.where(tau >= config.DIV_EPS_TOL, 1.0 / tau,
+                            1.0 / config.DIV_EPS_TOL)
+        nan = jnp.asarray(jnp.nan, dtype)
+        safe_bty = jnp.where(r.bty_tau != 0, r.bty_tau, 1.0)
+        safe_ctx = jnp.where(r.ctx_tau != 0, r.ctx_tau, 1.0)
+        x_out = jnp.where(is_solved, x * inv_tau,
+                          jnp.where(is_unbdd, x * (-1.0 / safe_ctx), nan))
+        y_out = jnp.where(is_solved, y * inv_tau,
+                          jnp.where(is_infeas, y * (-1.0 / safe_bty), nan))
+        s_out = jnp.where(is_solved, s_ * inv_tau,
+                          jnp.where(is_unbdd, s_ * (-1.0 / safe_ctx), nan))
+
+        pobj = jnp.where(is_solved, r.xt_p_x / 2.0 + r.ctx,
+                         jnp.where(is_infeas, jnp.inf,
+                                   jnp.where(is_unbdd, -jnp.inf, nan)))
+        dobj = jnp.where(is_solved, -r.xt_p_x / 2.0 - r.bty,
+                         jnp.where(is_infeas, jnp.inf,
+                                   jnp.where(is_unbdd, -jnp.inf, nan)))
+
+        return SolveResult(
+            x=x_out, y=y_out, s=s_out, status=status, iters=st.iter,
+            pobj=pobj, dobj=dobj, res_pri=r.res_pri, res_dual=r.res_dual,
+            gap=r.gap, tau=tau, scale_updates=st.scale_updates,
+            tot_cg_its=st.tot_cg_its)
+
+    return init_fn, chunk_fn, final_fn
+
+
+def make_pure_solver(spec: ConeSpec, stg: Settings,
+                     max_iters: Optional[int] = None):
+    """Single-dispatch solve_fn(A, P, b, c, bu, bl) -> SolveResult.
+
+    All shapes static; vmap/shard freely. P may be None (static).
+    """
+    init_fn, chunk_fn, final_fn = make_solver_parts(spec, stg)
+    cap = stg.max_iters if max_iters is None else max_iters
+
+    def solve_fn(A, P, b, c, bu, bl) -> SolveResult:
+        data, st = init_fn(A, P, b, c, bu, bl)
+        st = chunk_fn(data, st, jnp.asarray(cap, jnp.int32))
+        return final_fn(data, st)
+
+    return solve_fn
+
+
+def _vmap_six(fn, has_P: bool):
+    if has_P:
+        return jax.vmap(fn, in_axes=(0, 0, 0, 0, 0, 0))
+    return jax.vmap(lambda A, b, c, bu, bl: fn(A, None, b, c, bu, bl),
+                    in_axes=(0, 0, 0, 0, 0))
+
+
+@functools.lru_cache(maxsize=32)
+def make_batch_solver(spec: ConeSpec, stg: Settings,
+                      max_iters: Optional[int] = None, has_P: bool = False):
+    """jit(vmap(solve)) over a leading batch axis, single dispatch.
+
+    Returns fn(A (B,m,n), [P (B,n,n)], b (B,m), c (B,n), bu (B,k), bl (B,k))
+    -> SolveResult with leading batch dims. vmapped while_loops run until
+    every batch element terminates; converged elements keep a frozen status.
+    """
+    return jax.jit(_vmap_six(make_pure_solver(spec, stg, max_iters), has_P))
+
+
+@functools.lru_cache(maxsize=32)
+def make_chunked_batch_solver(spec: ConeSpec, stg: Settings,
+                              has_P: bool = False):
+    """Batch solver with host-side chunked dispatch.
+
+    Bounds each device program to `stg.chunk_iters` ADMM iterations —
+    long solves become several short executions (plays well with execution
+    watchdogs and lets the host enforce time limits), while the convergence
+    cadence stays on-device.
+
+    Returns solve(A, [P], b, c, bu, bl, max_iters=None) -> SolveResult.
+    """
+    init_fn, chunk_fn, final_fn = make_solver_parts(spec, stg)
+    init_b = jax.jit(_vmap_six(init_fn, has_P))
+    chunk_b = jax.jit(jax.vmap(chunk_fn, in_axes=(0, 0, None)))
+    final_b = jax.jit(jax.vmap(final_fn))
+    import numpy as np
+
+    def solve(*arrays, max_iters: Optional[int] = None) -> SolveResult:
+        cap_total = stg.max_iters if max_iters is None else max_iters
+        data, st = init_b(*arrays)
+        chunk = max(stg.chunk_iters, 25)
+        done_at = 0
+        while True:
+            running = np.asarray((st.status == config.UNFINISHED)
+                                 & (st.iter < cap_total))
+            if not running.any():
+                break
+            done_at = min(int(np.asarray(st.iter).max()) + chunk, cap_total)
+            st = chunk_b(data, st, jnp.asarray(done_at, jnp.int32))
+        return final_b(data, st)
+
+    return solve

@@ -1,0 +1,91 @@
+"""Batched (vmap) and mesh-sharded solves on the virtual 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from scs_tpu import config
+from scs_tpu.models import gen_planted
+from scs_tpu.parallel import (make_batch_solver, make_mesh,
+                              shard_problem_batch)
+from scs_tpu.types import ConeSpec, Settings
+
+
+def _stack_problems(spec, n, count, seed0=100, with_P=False):
+    probs = [gen_planted(spec, n=n, seed=seed0 + i, density=0.4,
+                         with_P=with_P) for i in range(count)]
+    A = jnp.stack([p.problem.A for p in probs])
+    b = jnp.stack([p.problem.b for p in probs])
+    c = jnp.stack([p.problem.c for p in probs])
+    P = jnp.stack([p.problem.P for p in probs]) if with_P else None
+    bu = jnp.zeros((count, 0), A.dtype)
+    bl = jnp.zeros((count, 0), A.dtype)
+    opts = np.asarray([p.opt for p in probs])
+    return A, P, b, c, bu, bl, opts
+
+
+def test_vmap_batch_lp():
+    spec = ConeSpec(l=40)
+    A, P, b, c, bu, bl, opts = _stack_problems(spec, n=15, count=8)
+    solver = make_batch_solver(spec, Settings(), has_P=False)
+    res = solver(A, b, c, bu, bl)
+    status = np.asarray(res.status)
+    assert np.all(status == config.SOLVED), status
+    np.testing.assert_allclose(np.asarray(res.pobj), opts,
+                               atol=1e-3, rtol=1e-3)
+
+
+def test_vmap_batch_qp():
+    spec = ConeSpec(l=30)
+    A, P, b, c, bu, bl, opts = _stack_problems(spec, n=10, count=4,
+                                               with_P=True)
+    solver = make_batch_solver(spec, Settings(), has_P=True)
+    res = solver(A, P, b, c, bu, bl)
+    assert np.all(np.asarray(res.status) == config.SOLVED)
+    np.testing.assert_allclose(np.asarray(res.pobj), opts,
+                               atol=1e-3, rtol=1e-3)
+
+
+def test_vmap_mixed_statuses():
+    """A batch mixing solvable problems must finish even though vmapped
+    while_loops run until the slowest element terminates."""
+    spec = ConeSpec(l=20, q=(6,))
+    A, P, b, c, bu, bl, opts = _stack_problems(spec, n=12, count=3)
+    solver = make_batch_solver(spec, Settings(), has_P=False)
+    res = solver(A, b, c, bu, bl)
+    assert np.all(np.asarray(res.status) == config.SOLVED)
+    iters = np.asarray(res.iters)
+    assert np.all(iters > 0)
+
+
+def test_sharded_batch_over_mesh():
+    """Data-parallel batch over an 8-device mesh."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    spec = ConeSpec(l=24)
+    A, P, b, c, bu, bl, opts = _stack_problems(spec, n=10, count=16)
+    mesh = make_mesh(8, data=8, model=1)
+    A, P, b, c, bu, bl = shard_problem_batch(mesh, A, P, b, c, bu, bl)
+    solver = make_batch_solver(spec, Settings(), has_P=False)
+    res = solver(A, b, c, bu, bl)
+    assert np.all(np.asarray(res.status) == config.SOLVED)
+    np.testing.assert_allclose(np.asarray(res.pobj), opts,
+                               atol=1e-3, rtol=1e-3)
+
+
+def test_sharded_rows_and_batch():
+    """2D mesh: batch over 'data', constraint rows over 'model' — the psum
+    path for CG dot products and A'z contractions."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    spec = ConeSpec(l=32)
+    A, P, b, c, bu, bl, opts = _stack_problems(spec, n=12, count=4)
+    mesh = make_mesh(8, data=4, model=2)
+    A, P, b, c, bu, bl = shard_problem_batch(mesh, A, P, b, c, bu, bl,
+                                             shard_rows=True)
+    solver = make_batch_solver(spec, Settings(), has_P=False)
+    res = solver(A, b, c, bu, bl)
+    assert np.all(np.asarray(res.status) == config.SOLVED)
+    np.testing.assert_allclose(np.asarray(res.pobj), opts,
+                               atol=1e-3, rtol=1e-3)
