@@ -109,6 +109,8 @@ def proj_cone(x: jnp.ndarray, spec: ConeSpec, cone_data: ConeData,
         parts.append(out)
     off = lay.q_off
     for (sz, ct) in _contiguous_runs(spec.q):
+        if sz == 0:
+            continue  # zero-size cones occupy no rows (cones.c:1252-1253)
         seg = x[off:off + sz * ct]
         if sz == 1:
             parts.append(jnp.maximum(seg, 0.0))
@@ -117,12 +119,16 @@ def proj_cone(x: jnp.ndarray, spec: ConeSpec, cone_data: ConeData,
         off += sz * ct
     off = lay.s_off
     for (sz, ct) in _contiguous_runs(spec.s):
+        if sz == 0:
+            continue
         tri = sz * (sz + 1) // 2
         seg = x[off:off + tri * ct].reshape(ct, tri)
         parts.append(psd.proj_psd_batch(seg, sz).reshape(-1))
         off += tri * ct
     off = lay.cs_off
     for (sz, ct) in _contiguous_runs(spec.cs):
+        if sz == 0:
+            continue
         full = sz * sz
         seg = x[off:off + full * ct].reshape(ct, full)
         parts.append(psd.proj_cpsd_batch(seg, sz).reshape(-1))

@@ -48,8 +48,9 @@ def _tri_indices(ns: int):
         packed[tri_c[k], tri_r[k]] = k
     unpack_scale = np.where(np.eye(ns, dtype=bool), 1.0, 1.0 / _SQRT2)
     pack_scale = np.where(tri_r == tri_c, 1.0, _SQRT2)
-    return (jnp.asarray(packed), jnp.asarray(unpack_scale),
-            jnp.asarray(tri_r), jnp.asarray(tri_c), jnp.asarray(pack_scale))
+    # cache numpy only — jnp constants must be created per-trace to avoid
+    # leaking arrays across jit traces
+    return packed, unpack_scale, tri_r, tri_c, pack_scale
 
 
 def svec_to_mat(v: jnp.ndarray, ns: int) -> jnp.ndarray:
@@ -108,7 +109,7 @@ def _cplx_indices(ns: int):
             lo_r[k] = r
             lo_c[k] = c
             k += 1
-    return tuple(jnp.asarray(a) for a in (diag_idx, re_idx, im_idx, lo_r, lo_c))
+    return diag_idx, re_idx, im_idx, lo_r, lo_c
 
 
 def proj_cpsd_batch(v: jnp.ndarray, ns: int) -> jnp.ndarray:

@@ -1,0 +1,87 @@
+"""Serialization tests: read the reference solver's fixture files and solve
+them to the statuses/objectives the reference test suite expects
+(test/problems/random_prob.h, max_ent.h, rob_gauss_cov_est.h, mpc_bug.h),
+plus write->read round-trips in both formats."""
+
+import os
+
+import numpy as np
+import pytest
+
+import scs_tpu
+from scs_tpu import config
+from scs_tpu.io import load_npz, read_scs_data, save_npz, write_scs_data
+from scs_tpu.models import gen_planted
+from scs_tpu.types import ConeSpec, Settings
+
+FIXTURES = "/root/reference/test/problems"
+
+
+def _solve_fixture(name, **stg_overrides):
+    problem, spec, cone_data, stgs = read_scs_data(os.path.join(FIXTURES, name))
+    import dataclasses
+    stgs = dataclasses.replace(stgs, verbose=False, **stg_overrides)
+    sol, info = scs_tpu.solve(problem, spec, cone_data, stgs)
+    return sol, info, stgs
+
+
+@pytest.mark.skipif(not os.path.exists(FIXTURES), reason="no reference tree")
+def test_fixture_random_prob():
+    """random_prob: mixed cone problem, opt 5.751458 (random_prob.h:6)."""
+    sol, info, _ = _solve_fixture("random_prob")
+    assert info.status_val == config.SOLVED, info.status
+    assert abs(info.pobj - 5.751458006385587) < 1e-3
+
+
+@pytest.mark.skipif(not os.path.exists(FIXTURES), reason="no reference tree")
+def test_fixture_max_ent():
+    """max_ent: exponential-cone entropy maximization, opt -6.067087
+    (max_ent.h)."""
+    sol, info, _ = _solve_fixture("max_ent", eps_abs=1e-5, eps_rel=1e-5)
+    assert info.status_val == config.SOLVED, info.status
+    assert abs(info.pobj - (-6.067087)) < 1e-3
+
+
+@pytest.mark.skipif(not os.path.exists(FIXTURES), reason="no reference tree")
+@pytest.mark.parametrize("name,ref_obj", [
+    ("mpc_bug1", None), ("mpc_bug2", None), ("mpc_bug3", None)])
+def test_fixture_mpc_bug(name, ref_obj):
+    """mpc_bug fixtures: box-cone MPC QPs that once tripped SCS (mpc_bug.h);
+    all three must solve."""
+    sol, info, _ = _solve_fixture(name)
+    assert info.status_val in (config.SOLVED, config.SOLVED_INACCURATE), \
+        info.status
+
+
+def test_scs_binary_roundtrip(tmp_path):
+    spec = ConeSpec(z=3, l=10, q=(4, 5), ep=1, p=(0.3,))
+    p = gen_planted(spec, n=12, seed=91, density=0.5, with_P=True)
+    fn = str(tmp_path / "prob.bin")
+    write_scs_data(fn, p.problem, spec, p.cone_data,
+                   Settings(eps_abs=3e-5, scale=0.7, max_iters=1234))
+    prob2, spec2, cd2, stgs2 = read_scs_data(fn)
+    assert spec2 == spec
+    assert stgs2.eps_abs == 3e-5
+    assert stgs2.scale == 0.7
+    assert stgs2.max_iters == 1234
+    np.testing.assert_allclose(np.asarray(prob2.A), np.asarray(p.problem.A))
+    np.testing.assert_allclose(np.asarray(prob2.b), np.asarray(p.problem.b))
+    np.testing.assert_allclose(np.asarray(prob2.c), np.asarray(p.problem.c))
+    np.testing.assert_allclose(np.asarray(prob2.P), np.asarray(p.problem.P))
+    # re-solve gives the same status/objective
+    sol1, info1 = scs_tpu.solve(p.problem, spec, p.cone_data, Settings())
+    sol2, info2 = scs_tpu.solve(prob2, spec2, cd2, Settings())
+    assert info1.status_val == info2.status_val == config.SOLVED
+    assert abs(info1.pobj - info2.pobj) < 1e-9
+
+
+def test_npz_roundtrip(tmp_path):
+    spec = ConeSpec(l=8, q=(5,), s=(3,))
+    p = gen_planted(spec, n=10, seed=97, density=0.5)
+    fn = str(tmp_path / "prob.npz")
+    save_npz(fn, p.problem, spec, p.cone_data)
+    prob2, spec2, cd2 = load_npz(fn)
+    assert spec2 == spec
+    np.testing.assert_allclose(np.asarray(prob2.A), np.asarray(p.problem.A))
+    sol, info = scs_tpu.solve(prob2, spec2, cd2, Settings())
+    assert info.status_val == config.SOLVED
