@@ -18,7 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..types import ConeData, ConeSpec
-from . import box, exp, power, psd, soc
+from . import box, exp, power, psd, soc, spectral
 
 
 def _contiguous_runs(sizes):
@@ -45,6 +45,10 @@ def cone_boundaries(spec: ConeSpec) -> list[int]:
     b += [ci * ci for ci in spec.cs]
     b += [3] * (spec.ep + spec.ed)
     b += [3] * spec.psize
+    b += [di * (di + 1) // 2 + 2 for di in spec.d]
+    b += [mi * ni + 1 for mi, ni in zip(spec.nuc_m, spec.nuc_n)]
+    b += [ei + 1 for ei in spec.ell1]
+    b += [si * (si + 1) // 2 + 1 for si in spec.sl_n]
     return b
 
 
@@ -61,6 +65,10 @@ class ConeLayout:
     cs_off: int
     exp_off: int
     pow_off: int
+    d_off: int
+    nuc_off: int
+    ell1_off: int
+    sl_off: int
     total: int
 
     @staticmethod
@@ -82,8 +90,17 @@ class ConeLayout:
         off += 3 * (spec.ep + spec.ed)
         pow_off = off
         off += 3 * spec.psize
+        d_off = off
+        off += sum(di * (di + 1) // 2 + 2 for di in spec.d)
+        nuc_off = off
+        off += sum(mi * ni + 1 for mi, ni in zip(spec.nuc_m, spec.nuc_n))
+        ell1_off = off
+        off += sum(ei + 1 for ei in spec.ell1)
+        sl_off = off
+        off += sum(si * (si + 1) // 2 + 1 for si in spec.sl_n)
         return ConeLayout(spec, z_off, l_off, box_off, q_off, s_off, cs_off,
-                          exp_off, pow_off, off)
+                          exp_off, pow_off, d_off, nuc_off, ell1_off, sl_off,
+                          off)
 
 
 def proj_cone(x: jnp.ndarray, spec: ConeSpec, cone_data: ConeData,
@@ -143,6 +160,26 @@ def proj_cone(x: jnp.ndarray, spec: ConeSpec, cone_data: ConeData,
         seg = x[lay.pow_off:lay.pow_off + 3 * spec.psize].reshape(spec.psize, 3)
         a = jnp.asarray(np.asarray(spec.p), dtype=x.dtype)
         parts.append(power.proj_power_batch(seg, a).reshape(-1))
+    off = lay.d_off
+    for di in spec.d:
+        ln = di * (di + 1) // 2 + 2
+        parts.append(spectral.proj_logdet(x[off:off + ln], di))
+        off += ln
+    off = lay.nuc_off
+    for mi, ni in zip(spec.nuc_m, spec.nuc_n):
+        ln = mi * ni + 1
+        parts.append(spectral.proj_nuclear(x[off:off + ln], mi, ni))
+        off += ln
+    off = lay.ell1_off
+    for ei in spec.ell1:
+        ln = ei + 1
+        parts.append(spectral.proj_ell1(x[off:off + ln]))
+        off += ln
+    off = lay.sl_off
+    for si, ki in zip(spec.sl_n, spec.sl_k):
+        ln = si * (si + 1) // 2 + 1
+        parts.append(spectral.proj_sum_largest_evals(x[off:off + ln], si, ki))
+        off += ln
 
     return jnp.concatenate(parts) if parts else x, new_warm
 

@@ -154,6 +154,12 @@ def read_scs_data(filename: str, dtype=None):
 
     # ---- extensions (rw.c:510-572) ----
     cs: tuple[int, ...] = ()
+    d_spec: tuple[int, ...] = ()
+    nuc_m: tuple[int, ...] = ()
+    nuc_n: tuple[int, ...] = ()
+    ell1: tuple[int, ...] = ()
+    sl_n: tuple[int, ...] = ()
+    sl_k: tuple[int, ...] = ()
     time_limit = 0.0
     if not c.eof():
         magic = c.u32()
@@ -164,18 +170,20 @@ def read_scs_data(filename: str, dtype=None):
             cssize = c.int1()
             cs = tuple(int(x) for x in c.ints(cssize))
             dsize = c.int1()
-            c.ints(dsize)            # logdet cones: parsed, not yet consumed
+            d_spec = tuple(int(x) for x in c.ints(dsize))
             nucsize = c.int1()
-            c.ints(nucsize)
-            c.ints(nucsize)
+            nuc_m = tuple(int(x) for x in c.ints(nucsize))
+            nuc_n = tuple(int(x) for x in c.ints(nucsize))
             ell1_size = c.int1()
-            c.ints(ell1_size)
+            ell1 = tuple(int(x) for x in c.ints(ell1_size))
             sl_size = c.int1()
-            c.ints(sl_size)
-            c.ints(sl_size)
+            sl_n = tuple(int(x) for x in c.ints(sl_size))
+            sl_k = tuple(int(x) for x in c.ints(sl_size))
             time_limit = c.float1()
 
-    spec = ConeSpec(z=z, l=l, bsize=bsize, q=q, s=s, cs=cs, ep=ep, ed=ed, p=p)
+    spec = ConeSpec(z=z, l=l, bsize=bsize, q=q, s=s, cs=cs, ep=ep, ed=ed, p=p,
+                    d=d_spec, nuc_m=nuc_m, nuc_n=nuc_n, ell1=ell1,
+                    sl_n=sl_n, sl_k=sl_k)
     cone_data = ConeData(bu=jnp.asarray(bu, dtype), bl=jnp.asarray(bl, dtype))
     problem = Problem(A=jnp.asarray(A, dtype), b=jnp.asarray(b, dtype),
                       c=jnp.asarray(cc, dtype),
@@ -278,10 +286,16 @@ def write_scs_data(filename: str, problem: Problem, spec: ConeSpec,
     w_u32(_EXT_VERSION)
     w_int(len(spec.cs))
     w_ints(spec.cs)
-    w_int(0)            # dsize
-    w_int(0)            # nucsize
-    w_int(0)            # ell1_size
-    w_int(0)            # sl_size
+    w_int(len(spec.d))
+    w_ints(spec.d)
+    w_int(len(spec.nuc_m))
+    w_ints(spec.nuc_m)
+    w_ints(spec.nuc_n)
+    w_int(len(spec.ell1))
+    w_ints(spec.ell1)
+    w_int(len(spec.sl_n))
+    w_ints(spec.sl_n)
+    w_ints(spec.sl_k)
     w_floats([stgs.time_limit_secs])
 
     with open(filename, "wb") as f:

@@ -78,6 +78,13 @@ class ConeSpec:
     ed: int = 0                     # dual exponential cone triples
     # power cone exponents; static floats, sign selects primal (>=0) / dual (<0)
     p: tuple[float, ...] = ()
+    # spectral cones (reference USE_SPECTRAL_CONES, include/scs.h:154-171):
+    d: tuple[int, ...] = ()         # logdet cone matrix dims (len tri+2 each)
+    nuc_m: tuple[int, ...] = ()     # nuclear cone row dims
+    nuc_n: tuple[int, ...] = ()     # nuclear cone col dims (len m*n+1 each)
+    ell1: tuple[int, ...] = ()      # ell1 cone sizes (len n+1 each)
+    sl_n: tuple[int, ...] = ()      # sum-largest-evals matrix dims
+    sl_k: tuple[int, ...] = ()      # sum-largest-evals k values (len tri+1)
 
     @property
     def psize(self) -> int:
@@ -85,16 +92,21 @@ class ConeSpec:
 
     def dims(self) -> int:
         """Total number of rows m implied by the cone layout."""
-        d = self.z + self.l + self.bsize
-        d += sum(self.q)
-        d += sum(si * (si + 1) // 2 for si in self.s)
-        d += sum(ci * ci for ci in self.cs)
-        d += 3 * (self.ep + self.ed + self.psize)
-        return d
+        dd = self.z + self.l + self.bsize
+        dd += sum(self.q)
+        dd += sum(si * (si + 1) // 2 for si in self.s)
+        dd += sum(ci * ci for ci in self.cs)
+        dd += 3 * (self.ep + self.ed + self.psize)
+        dd += sum(di * (di + 1) // 2 + 2 for di in self.d)
+        dd += sum(mi * ni + 1 for mi, ni in zip(self.nuc_m, self.nuc_n))
+        dd += sum(ei + 1 for ei in self.ell1)
+        dd += sum(si * (si + 1) // 2 + 1 for si in self.sl_n)
+        return dd
 
     def num_cones(self) -> int:
         return (len(self.q) + len(self.s) + len(self.cs) + self.ep + self.ed
-                + self.psize)
+                + self.psize + len(self.d) + len(self.nuc_m) + len(self.ell1)
+                + len(self.sl_n))
 
 
 @jax.tree_util.register_dataclass

@@ -78,6 +78,24 @@ def validate_cones(spec: ConeSpec, cone_data, m: int) -> None:
     for a in spec.p:
         if not (-1.0 <= a <= 1.0) or not math.isfinite(a):
             raise ValidationError(f"power cone exponent must be in [-1, 1], got {a}")
+    for di in spec.d:
+        if di <= 0:
+            raise ValidationError(f"logdet cone dim must be positive, got {di}")
+    if len(spec.nuc_m) != len(spec.nuc_n):
+        raise ValidationError("nuc_m and nuc_n must have equal length")
+    for mi, ni in zip(spec.nuc_m, spec.nuc_n):
+        if mi < ni or ni <= 0:
+            raise ValidationError(
+                f"nuclear cone requires m >= n > 0, got ({mi}, {ni})")
+    for ei in spec.ell1:
+        if ei <= 0:
+            raise ValidationError(f"ell1 cone size must be positive, got {ei}")
+    if len(spec.sl_n) != len(spec.sl_k):
+        raise ValidationError("sl_n and sl_k must have equal length")
+    for si, ki in zip(spec.sl_n, spec.sl_k):
+        if not (0 < ki < si):
+            raise ValidationError(
+                f"sum-largest cone requires 0 < k < n, got (n={si}, k={ki})")
     dims = spec.dims()
     if dims != m:
         raise ValidationError(

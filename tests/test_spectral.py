@@ -1,0 +1,193 @@
+"""Spectral cone projection tests: exactness against brute-force references
+(scipy optimization / direct KKT checks) and end-to-end solves.
+
+Mirrors the reference's spectral test suite (test/spectral_cones_problems/)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from scipy.optimize import minimize
+
+import scs_tpu
+from scs_tpu import config
+from scs_tpu.cones import spectral
+from scs_tpu.cones.psd import mat_to_svec, svec_to_mat
+from scs_tpu.models import gen_planted
+from scs_tpu.types import ConeSpec, Settings
+
+F64 = jnp.float64
+
+
+def _brute_force_proj(x0, cone_indicator, n, x_init=None):
+    """Projection via scipy SLSQP: min ||x - x0||^2 s.t. cone constraints."""
+    cons = cone_indicator
+    res = minimize(lambda x: np.sum((x - x0) ** 2),
+                   x_init if x_init is not None else np.maximum(x0, 0.1),
+                   constraints=cons, method="SLSQP",
+                   options={"maxiter": 500, "ftol": 1e-14})
+    return res.x
+
+
+def test_ell1_cone_projection():
+    rng = np.random.RandomState(1)
+    for trial in range(8):
+        n = 10
+        tx = rng.uniform(-2, 2, n + 1)
+        out = np.asarray(spectral.proj_ell1(jnp.asarray(tx, F64)))
+        # membership
+        assert np.sum(np.abs(out[1:])) <= out[0] + 1e-9
+        # idempotence
+        out2 = np.asarray(spectral.proj_ell1(jnp.asarray(out, F64)))
+        np.testing.assert_allclose(out2, out, atol=1e-9)
+        # optimality vs scipy
+        ref = _brute_force_proj(
+            tx, [{"type": "ineq",
+                  "fun": lambda z: z[0] - np.sum(np.abs(z[1:]))}],
+            n + 1, x_init=np.concatenate([[np.abs(tx).sum()], tx[1:]]))
+        assert np.sum((out - tx) ** 2) <= np.sum((ref - tx) ** 2) + 1e-7
+
+
+def test_ell1_inside_cone_fixed():
+    tx = np.array([5.0, 1.0, -2.0, 0.5])
+    out = np.asarray(spectral.proj_ell1(jnp.asarray(tx, F64)))
+    np.testing.assert_allclose(out, tx, atol=1e-12)
+
+
+def test_sum_largest_sorted():
+    rng = np.random.RandomState(2)
+    for trial in range(8):
+        n, k = 8, 3
+        x = np.sort(rng.uniform(-2, 2, n))[::-1].copy()
+        t0 = rng.uniform(-1, 1)
+        t_p, x_p = spectral.proj_sum_largest_sorted(
+            jnp.asarray(t0, F64), jnp.asarray(x, F64), k)
+        t_p = float(t_p)
+        x_p = np.asarray(x_p)
+        # membership: sum of k largest <= t
+        assert np.sort(x_p)[::-1][:k].sum() <= t_p + 1e-7
+        # optimality vs scipy (SLSQP can return infeasible points on this
+        # nonsmooth constraint — only trust it when feasible)
+        tx0 = np.concatenate([[t0], x])
+        ref = _brute_force_proj(
+            tx0,
+            [{"type": "ineq",
+              "fun": lambda z: z[0] - np.sort(z[1:])[::-1][:k].sum()}],
+            n + 1, x_init=np.concatenate([[np.abs(x).sum()], x]))
+        ref_feasible = ref[0] - np.sort(ref[1:])[::-1][:k].sum() >= -1e-7
+        ours = np.concatenate([[t_p], x_p])
+        if ref_feasible:
+            assert np.sum((ours - tx0) ** 2) <= np.sum((ref - tx0) ** 2) + 1e-6
+
+
+def test_sum_largest_evals():
+    rng = np.random.RandomState(3)
+    ns, k = 4, 2
+    tri = ns * (ns + 1) // 2
+    tX = jnp.asarray(rng.uniform(-1, 1, tri + 1), F64)
+    out = np.asarray(spectral.proj_sum_largest_evals(tX, ns, k))
+    M = np.asarray(svec_to_mat(jnp.asarray(out[1:], F64), ns))
+    w = np.linalg.eigvalsh(M)
+    assert np.sort(w)[::-1][:k].sum() <= out[0] + 1e-7
+    out2 = np.asarray(spectral.proj_sum_largest_evals(jnp.asarray(out, F64),
+                                                      ns, k))
+    np.testing.assert_allclose(out2, out, atol=1e-7)
+
+
+def test_nuclear_cone():
+    rng = np.random.RandomState(4)
+    m, n = 5, 3
+    X = rng.uniform(-1, 1, (m, n))
+    t0 = 0.5 * np.linalg.svd(X, compute_uv=False).sum()  # outside cone
+    tX = jnp.asarray(np.concatenate([[t0], X.T.reshape(-1)]), F64)
+    out = np.asarray(spectral.proj_nuclear(tX, m, n))
+    Xp = out[1:].reshape(n, m).T
+    assert np.linalg.svd(Xp, compute_uv=False).sum() <= out[0] + 1e-8
+    # idempotence
+    out2 = np.asarray(spectral.proj_nuclear(jnp.asarray(out, F64), m, n))
+    np.testing.assert_allclose(out2, out, atol=1e-8)
+    # inside-cone fixed point
+    t_in = np.linalg.svd(X, compute_uv=False).sum() + 1.0
+    tX_in = jnp.asarray(np.concatenate([[t_in], X.T.reshape(-1)]), F64)
+    np.testing.assert_allclose(np.asarray(spectral.proj_nuclear(tX_in, m, n)),
+                               np.asarray(tX_in), atol=1e-10)
+
+
+def _logdet_membership(t, v, w, tol=1e-6):
+    if v < -tol or np.any(w < -tol):
+        return False
+    if v <= tol:
+        return t >= -tol
+    wp = np.maximum(w, 1e-300)
+    return -v * (np.sum(np.log(wp)) - len(w) * np.log(v)) <= t + tol
+
+
+def test_log_cone_newton():
+    rng = np.random.RandomState(5)
+    for trial in range(6):
+        n = 5
+        t0 = rng.uniform(-2, 2)
+        v0 = rng.uniform(-1, 2)
+        x0 = rng.uniform(-0.5, 2, n)
+        t, v, x = spectral.log_cone_newton(
+            jnp.asarray(t0, F64), jnp.asarray(v0, F64), jnp.asarray(x0, F64))
+        t, v, x = float(t), float(v), np.asarray(x)
+        assert _logdet_membership(t, v, x), (trial, t, v, x)
+        # optimality: compare against scipy on the smooth parametrization
+        def neg_feas(z):
+            tt, vv, xx = z[0], z[1], z[2:]
+            vv = max(vv, 1e-12)
+            xx = np.maximum(xx, 1e-12)
+            return tt + vv * (np.sum(np.log(xx)) - n * np.log(vv))
+
+        ref = _brute_force_proj(
+            np.concatenate([[t0, v0], x0]),
+            [{"type": "ineq", "fun": neg_feas},
+             {"type": "ineq", "fun": lambda z: z[1]},
+             {"type": "ineq", "fun": lambda z: np.min(z[2:])}],
+            n + 2,
+            x_init=np.concatenate([[abs(t0) + 5, max(v0, 1)],
+                                   np.maximum(x0, 1)]))
+        ours_d = (t - t0) ** 2 + (v - v0) ** 2 + np.sum((x - x0) ** 2)
+        ref_d = np.sum((ref - np.concatenate([[t0, v0], x0])) ** 2)
+        assert ours_d <= ref_d + 1e-4, (trial, ours_d, ref_d)
+
+
+def test_logdet_matrix_cone():
+    rng = np.random.RandomState(6)
+    ns = 3
+    tri = ns * (ns + 1) // 2
+    tvX = jnp.asarray(rng.uniform(-1, 1, tri + 2), F64)
+    out = np.asarray(spectral.proj_logdet(tvX, ns))
+    M = np.asarray(svec_to_mat(jnp.asarray(out[2:], F64), ns))
+    w = np.linalg.eigvalsh(M)
+    assert _logdet_membership(out[0], out[1], w, tol=1e-5)
+
+
+def test_solve_with_ell1_cone():
+    spec = ConeSpec(l=5, ell1=(6,))
+    p = gen_planted(spec, n=10, seed=101, density=0.5)
+    sol, info = scs_tpu.solve(p.problem, spec, p.cone_data, Settings())
+    assert info.status_val == config.SOLVED, info.status
+    assert abs(info.pobj - p.opt) < 1e-3 * (1 + abs(p.opt))
+
+
+def test_solve_with_sum_largest_cone():
+    spec = ConeSpec(l=4, sl_n=(4,), sl_k=(2,))
+    p = gen_planted(spec, n=10, seed=103, density=0.5)
+    sol, info = scs_tpu.solve(p.problem, spec, p.cone_data, Settings())
+    assert info.status_val == config.SOLVED, info.status
+
+
+def test_solve_with_nuclear_cone():
+    spec = ConeSpec(l=4, nuc_m=(4,), nuc_n=(3,))
+    p = gen_planted(spec, n=10, seed=105, density=0.5)
+    sol, info = scs_tpu.solve(p.problem, spec, p.cone_data, Settings())
+    assert info.status_val == config.SOLVED, info.status
+
+
+def test_solve_with_logdet_cone():
+    spec = ConeSpec(l=4, d=(3,))
+    p = gen_planted(spec, n=10, seed=107, density=0.5)
+    sol, info = scs_tpu.solve(p.problem, spec, p.cone_data,
+                              Settings(max_iters=20000))
+    assert info.status_val == config.SOLVED, info.status
