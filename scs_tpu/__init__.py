@@ -38,7 +38,14 @@ from .types import (ConeData, ConeSpec, Info, Problem,  # noqa: E402
 
 __version__ = config.VERSION
 
+
+def scs_version() -> str:
+    """Version string (scs_version() analog, src/scs_version.c:1-13)."""
+    return __version__
+
+
 __all__ = [
     "Workspace", "solve", "Problem", "ConeSpec", "ConeData", "Settings",
     "Solution", "Info", "problem_from_csc", "config", "__version__",
+    "scs_version",
 ]

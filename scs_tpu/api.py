@@ -29,6 +29,14 @@ from .types import ConeData, ConeSpec, Info, Problem, Settings, Solution
 from .validation import validate
 
 
+def _compile_key(stg: Settings) -> Settings:
+    """Strip fields that do not shape the compiled program so host-only
+    option changes (filenames, verbosity, time limit) reuse the cache."""
+    return dataclasses.replace(
+        stg, verbose=False, warm_start=False, time_limit_secs=0.0,
+        write_data_filename=None, log_csv_filename=None)
+
+
 @functools.lru_cache(maxsize=64)
 def _cached_runner(spec: ConeSpec, stg: Settings):
     return make_runner(spec, stg)
@@ -41,6 +49,38 @@ def _cached_finalizer(spec: ConeSpec):
         return populate_residuals(data, spec, u, rsk, it)
 
     return final_res
+
+
+class _CsvTrace:
+    """Per-iteration CSV trace (log_data_to_csv analog, rw.c:707-861).
+
+    Column subset of the reference's ~60: everything observable from the
+    on-device residual snapshot plus the AA / scale diagnostics.
+    """
+
+    COLUMNS = ("iter,res_pri,res_dual,gap,res_infeas,res_unbdd_a,"
+               "res_unbdd_p,pobj,dobj,tau,kap,scale,scale_updates,"
+               "aa_norm,accepted_accel_steps,rejected_accel_steps,"
+               "tot_cg_its,time_s")
+
+    def __init__(self, filename: str):
+        self._f = open(filename, "w")
+        self._f.write(self.COLUMNS + "\n")
+
+    def row(self, st: LoopState, r: Residuals, elapsed_s: float) -> None:
+        # one device->host transfer for the whole row (scalars pulled
+        # individually would each round-trip to the device)
+        vals = jax.device_get(
+            (st.iter, r.res_pri, r.res_dual, r.gap, r.res_infeas,
+             r.res_unbdd_a, r.res_unbdd_p, r.pobj, r.dobj, r.tau, r.kap,
+             st.scale, st.scale_updates, st.aa_norm, st.accepted_accel,
+             st.rejected_accel, st.tot_cg_its))
+        out = [repr(np.asarray(v).item()) for v in vals]
+        out.append(repr(elapsed_s))
+        self._f.write(",".join(out) + "\n")
+
+    def close(self) -> None:
+        self._f.close()
 
 
 class Workspace:
@@ -101,8 +141,14 @@ class Workspace:
         self.diag_r = set_diag_r(spec, n, m, jnp.asarray(self.scale, dtype),
                                  stg.rho_x, dtype)
         self.derived = self.backend.derive(A_n, P_n, self.diag_r)
-        self._runner = _cached_runner(spec, stg)
+        self._runner = _cached_runner(spec, _compile_key(stg))
         self._finalizer = _cached_finalizer(spec)
+
+        if stg.write_data_filename:
+            from .io import write_scs_data
+            write_scs_data(stg.write_data_filename,
+                           Problem(A=A, b=b_orig, c=c_orig, P=P),
+                           spec, cone_data, stg)
         self.setup_time_ms = (time.perf_counter() - t0) * 1e3
 
     # -- scs_update (scs.c:1287-1325) --
@@ -172,44 +218,129 @@ class Workspace:
         t0 = time.perf_counter()
         st = self._init_state(sol if (warm_start and sol is not None) else None)
 
+        if stg.verbose:
+            self._print_header()
+
+        csv = None
+        if stg.log_csv_filename:
+            csv = _CsvTrace(stg.log_csv_filename)
+
         time_limit_reached = False
+        interrupted = False
         max_iters = stg.max_iters
         chunk = max(stg.chunk_iters, config.CONVERGED_INTERVAL)
-        while True:
-            it = int(st.iter)
-            status = int(st.status)
-            if status != config.UNFINISHED or it >= max_iters:
-                break
-            if stg.time_limit_secs and (
-                    time.perf_counter() - t0) > stg.time_limit_secs:
-                time_limit_reached = True
-                break
-            cap = min(it + chunk, max_iters)
-            st = self._runner(self.data, st, jnp.asarray(cap, jnp.int32))
-            if stg.verbose:
-                self._print_progress(st)
+        if stg.verbose:
+            chunk = min(chunk, config.PRINT_INTERVAL)
+        if csv is not None:
+            chunk = 1  # per-iteration trace ("makes SCS very slow", scs.h:99)
+        try:
+            while True:
+                it, status = map(int, jax.device_get((st.iter, st.status)))
+                if status != config.UNFINISHED or it >= max_iters:
+                    break
+                if stg.time_limit_secs and (
+                        time.perf_counter() - t0) > stg.time_limit_secs:
+                    time_limit_reached = True
+                    break
+                cap = min(it + chunk, max_iters)
+                st = self._runner(self.data, st, jnp.asarray(cap, jnp.int32))
+                if csv is not None:
+                    r = self._finalizer(self.data, st.u, st.rsk, st.iter)
+                    csv.row(st, r, time.perf_counter() - t0)
+                if stg.verbose:
+                    self._print_progress(st, time.perf_counter() - t0)
+        except KeyboardInterrupt:
+            # scs_is_interrupted polling (src/ctrlc.c, scs.c:1400-1403)
+            interrupted = True
+        finally:
+            if csv is not None:
+                csv.close()
 
         solve_ms = (time.perf_counter() - t0) * 1e3
-        solution, info = self._finalize(st, time_limit_reached)
+        solution, info = self._finalize(st, time_limit_reached, interrupted)
         info.solve_time = solve_ms
         info.setup_time = self.setup_time_ms
         # persist adapted scale / diag_r for subsequent warm solves
         self.scale = float(st.scale)
         self.diag_r = st.diag_r
         self.derived = st.derived
+        if stg.verbose:
+            self._print_footer(info)
         return solution, info
 
-    def _print_progress(self, st: LoopState) -> None:
-        r = st.res
-        print(f"iter {int(st.iter):6d} | pri res {float(r.res_pri):.2e} | "
-              f"dual res {float(r.res_dual):.2e} | gap {float(r.gap):.2e} | "
-              f"tau {float(r.tau):.2e} | scale {float(st.scale):.2e}")
+    def _print_header(self) -> None:
+        """Init banner (mirrors print_init_header, scs.c:123-177)."""
+        stg, spec = self.stg, self.spec
+        bar = "-" * 71
+        print(bar)
+        print(f"          scs_tpu v{config.VERSION} - TPU-native splitting "
+              "conic solver")
+        print(bar)
+        print(f"problem:  variables n: {self.n}, constraints m: {self.m}")
+        parts = []
+        if spec.z:
+            parts.append(f"z (zero): {spec.z}")
+        if spec.l:
+            parts.append(f"l (linear): {spec.l}")
+        if spec.bsize:
+            parts.append(f"b (box): {spec.bsize}")
+        if spec.q:
+            parts.append(f"q (soc): {sum(spec.q)} in {len(spec.q)} cones")
+        if spec.s:
+            parts.append(f"s (psd): {sum(x * (x + 1) // 2 for x in spec.s)}"
+                         f" in {len(spec.s)} cones")
+        if spec.cs:
+            parts.append(f"cs (complex psd): {sum(x * x for x in spec.cs)}"
+                         f" in {len(spec.cs)} cones")
+        if spec.ep or spec.ed:
+            parts.append(f"e (exp): {3 * (spec.ep + spec.ed)}")
+        if spec.p:
+            parts.append(f"p (power): {3 * len(spec.p)}")
+        for extra, label in ((spec.d, "d (logdet)"), (spec.ell1, "ell1"),
+                             (spec.nuc_m, "nuc"), (spec.sl_n, "sl")):
+            if extra:
+                parts.append(f"{label}: {len(extra)} cones")
+        print("cones:    " + "; ".join(parts))
+        print(f"settings: eps_abs: {stg.eps_abs:.1e}, eps_rel: "
+              f"{stg.eps_rel:.1e}, eps_infeas: {stg.eps_infeas:.1e}")
+        print(f"          alpha: {stg.alpha:.2f}, scale: {stg.scale:.2e}, "
+              f"adaptive_scale: {int(stg.adaptive_scale)}")
+        print(f"          max_iters: {stg.max_iters}, normalize: "
+              f"{int(stg.normalize)}, rho_x: {stg.rho_x:.2e}")
+        print(f"          acceleration_lookback: {stg.acceleration_lookback},"
+              f" acceleration_interval: {stg.acceleration_interval}")
+        print(f"lin-sys:  {self.backend.METHOD_NAME} (dtype "
+              f"{jnp.dtype(stg.dtype).name})")
+        print(bar)
+        print(" iter | pri res | dua res |   gap   | pri obj |  scale  |"
+              " time (s)")
+        print(bar)
 
-    def _finalize(self, st: LoopState,
-                  time_limit_reached: bool) -> tuple[Solution, Info]:
+    def _print_progress(self, st: LoopState, elapsed_s: float) -> None:
+        """Progress row (mirrors print_summary, scs.c:198-235)."""
+        r = st.res
+        it, rp, rd, gap, pobj, scale = jax.device_get(
+            (st.iter, r.res_pri, r.res_dual, r.gap, r.pobj, st.scale))
+        print(f"{int(it):6d}| {float(rp):.2e} {float(rd):.2e} "
+              f"{float(gap):.2e} {float(pobj): .2e} {float(scale):.2e} "
+              f"{elapsed_s:.2e}")
+
+    def _print_footer(self, info: Info) -> None:
+        """Exit summary (mirrors print_footer, scs.c:237-274)."""
+        bar = "-" * 71
+        print(bar)
+        print(f"status:  {info.status}")
+        print(f"timings: total: {(info.setup_time + info.solve_time) / 1e3:.2e}s"
+              f" = setup: {info.setup_time / 1e3:.2e}s"
+              f" + solve: {info.solve_time / 1e3:.2e}s")
+        if info.status_val in (config.SOLVED, config.SOLVED_INACCURATE):
+            print(f"objective = {info.pobj:.6f}")
+        print(bar)
+
+    def _finalize(self, st: LoopState, time_limit_reached: bool,
+                  interrupted: bool = False) -> tuple[Solution, Info]:
         """Extract solution / certificates (finalize, scs.c:847-966)."""
         n, m = self.n, self.m
-        it = int(st.iter)
         r = self._finalizer(self.data, st.u, st.rsk, st.iter)
 
         x = st.u[:n]
@@ -217,17 +348,33 @@ class Workspace:
         s = st.rsk[n:n + m]
         if self.stg.normalize:
             x, y, s = unnormalize_xys(self.data.scal, x, y, s)
-        x = np.asarray(x)
-        y = np.asarray(y)
-        s = np.asarray(s)
+
+        # single device->host transfer for solution vectors + all scalars
+        (x, y, s, it, status, scale_updates, scale, accepted, rejected,
+         r) = jax.device_get((x, y, s, st.iter, st.status, st.scale_updates,
+                              st.scale, st.accepted_accel, st.rejected_accel,
+                              r))
+        x, y, s = np.asarray(x), np.asarray(y), np.asarray(s)
+        it = int(it)
 
         tau = float(r.tau)
         kap = float(r.kap)
         bty_tau = float(r.bty_tau)
         ctx_tau = float(r.ctx_tau)
 
-        status = int(st.status)
+        status = int(status)
         inaccurate_suffix = ""
+        if interrupted and status == config.UNFINISHED:
+            # failure(... SCS_SIGINT, "interrupted") semantics (scs.c:1400-1403)
+            x = np.full_like(x, np.nan)
+            y = np.full_like(y, np.nan)
+            s = np.full_like(s, np.nan)
+            info = Info(iter=it, status="interrupted",
+                        status_val=config.SIGINT,
+                        scale_updates=int(scale_updates),
+                        scale=float(scale),
+                        lin_sys_solver=self.backend.METHOD_NAME)
+            return Solution(x=x, y=y, s=s), info
         if status == config.UNFINISHED:
             if kap > tau and (bty_tau < 0 or ctx_tau < 0):
                 if bty_tau < 0 and bty_tau < ctx_tau:
@@ -244,13 +391,13 @@ class Workspace:
                 inaccurate_suffix = " (inaccurate - reached max_iters)"
 
         info = Info(iter=it, status_val=status,
-                    scale_updates=int(st.scale_updates),
-                    scale=float(st.scale),
+                    scale_updates=int(scale_updates),
+                    scale=float(scale),
                     res_infeas=float(r.res_infeas),
                     res_unbdd_a=float(r.res_unbdd_a),
                     res_unbdd_p=float(r.res_unbdd_p),
-                    rejected_accel_steps=int(st.rejected_accel),
-                    accepted_accel_steps=int(st.accepted_accel),
+                    rejected_accel_steps=int(rejected),
+                    accepted_accel_steps=int(accepted),
                     lin_sys_solver=self.backend.METHOD_NAME)
         info.comp_slack = float(abs(np.dot(s, y)))
 

@@ -154,6 +154,9 @@ class Settings:
     acceleration_type_1: bool = config.ACCELERATION_TYPE_1
     acceleration_regularization: float = config.AA_REGULARIZATION
     acceleration_relaxation: float = config.AA_RELAXATION
+    # problem dump / per-iteration trace (include/scs.h:93-100)
+    write_data_filename: Optional[str] = None
+    log_csv_filename: Optional[str] = None
     # TPU-specific knobs (no reference analog):
     linsys: str = "indirect"     # "indirect" (CG) or "direct" (dense Cholesky)
     dtype: Any = jnp.float64
