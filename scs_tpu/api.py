@@ -30,11 +30,14 @@ from .validation import validate
 
 
 def _compile_key(stg: Settings) -> Settings:
-    """Strip fields that do not shape the compiled program so host-only
-    option changes (filenames, verbosity, time limit) reuse the cache."""
+    """Strip fields that do not shape the compiled program so host-only or
+    runtime-traced option changes (filenames, verbosity, time limit,
+    tolerances, relaxation) reuse the cache."""
     return dataclasses.replace(
         stg, verbose=False, warm_start=False, time_limit_secs=0.0,
-        write_data_filename=None, log_csv_filename=None)
+        write_data_filename=None, log_csv_filename=None,
+        eps_abs=config.EPS_ABS, eps_rel=config.EPS_REL,
+        eps_infeas=config.EPS_INFEAS, alpha=config.ALPHA)
 
 
 @functools.lru_cache(maxsize=64)
@@ -134,7 +137,11 @@ class Workspace:
             A=A_n, P=P_n, b=b_orig, c=c_orig,  # b/c replaced by update()
             b_orig=b_orig, c_orig=c_orig,
             nm_b_orig=jnp.zeros((), dtype), nm_c_orig=jnp.zeros((), dtype),
-            scal=scal, cone=cone_n)
+            scal=scal, cone=cone_n,
+            eps_abs=jnp.asarray(stg.eps_abs, dtype),
+            eps_rel=jnp.asarray(stg.eps_rel, dtype),
+            eps_infeas=jnp.asarray(stg.eps_infeas, dtype),
+            alpha=jnp.asarray(stg.alpha, dtype))
         self.update(problem.b, problem.c)
 
         self.scale = float(stg.scale)

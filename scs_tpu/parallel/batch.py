@@ -87,7 +87,11 @@ def make_solver_parts(spec: ConeSpec, stg: Settings):
         data = ProblemData(
             A=A_n, P=P_n, b=b_n, c=c_n, b_orig=b, c_orig=c,
             nm_b_orig=jnp.max(jnp.abs(b)), nm_c_orig=jnp.max(jnp.abs(c)),
-            scal=scal, cone=ConeData(bu=bu_n, bl=bl_n))
+            scal=scal, cone=ConeData(bu=bu_n, bl=bl_n),
+            eps_abs=jnp.asarray(stg.eps_abs, dtype),
+            eps_rel=jnp.asarray(stg.eps_rel, dtype),
+            eps_infeas=jnp.asarray(stg.eps_infeas, dtype),
+            alpha=jnp.asarray(stg.alpha, dtype))
 
         diag_r = set_diag_r(spec, n, m, jnp.asarray(stg.scale, dtype),
                             stg.rho_x, dtype)

@@ -49,6 +49,12 @@ class ProblemData:
     nm_c_orig: jax.Array
     scal: Scaling
     cone: ConeData               # normalized (equilibrated) cone data
+    # runtime-traced solve parameters: tolerance/relaxation changes reuse
+    # the compiled program (and may vary per problem under vmap)
+    eps_abs: jax.Array
+    eps_rel: jax.Array
+    eps_infeas: jax.Array
+    alpha: jax.Array
 
 
 @jax.tree_util.register_dataclass
@@ -271,12 +277,12 @@ def has_converged(r: Residuals, data: ProblemData, stg: Settings):
     drl = jnp.maximum(jnp.maximum(data.nm_c_orig * r.tau, r.nm_px),
                       r.nm_aty) / r.tau
     solved = ((r.tau > 0.0)
-              & (r.res_pri < stg.eps_abs + stg.eps_rel * prl)
-              & (r.res_dual < stg.eps_abs + stg.eps_rel * drl)
-              & (r.gap < stg.eps_abs + stg.eps_rel * grl))
-    unbounded = ((r.res_unbdd_a < stg.eps_infeas)
-                 & (r.res_unbdd_p < stg.eps_infeas))
-    infeasible = r.res_infeas < stg.eps_infeas
+              & (r.res_pri < data.eps_abs + data.eps_rel * prl)
+              & (r.res_dual < data.eps_abs + data.eps_rel * drl)
+              & (r.gap < data.eps_abs + data.eps_rel * grl))
+    unbounded = ((r.res_unbdd_a < data.eps_infeas)
+                 & (r.res_unbdd_p < data.eps_infeas))
+    infeasible = r.res_infeas < data.eps_infeas
     return jnp.where(
         solved, config.SOLVED,
         jnp.where(unbounded, config.UNBOUNDED,
@@ -455,7 +461,7 @@ def make_step(spec: ConeSpec, stg: Settings):
                 st = jax.lax.cond(check, lambda s: update_scale(data, s, i),
                                   lambda s: s, st)
             # dual update: v += alpha (u - u_t) (scs.c:788-793)
-            v_new = st.v + stg.alpha * (st.u - st.u_t)
+            v_new = st.v + data.alpha * (st.u - st.u_t)
             st = dataclasses.replace(st, v=v_new)
             if use_aa:
                 def do_guard(st: LoopState) -> LoopState:
