@@ -82,7 +82,61 @@ def read_scs_data(filename: str, dtype=None):
 
     Returns (Problem, ConeSpec, ConeData, Settings). Settings carries the
     values stored in the file (tolerances, scale, AA parameters, ...).
+    Uses the native (C++) codec when available, else the pure-Python path.
     """
+    from .utils import native
+    parsed = native.read_file(filename)
+    if parsed is not None:
+        return _assemble_from_native(parsed, dtype)
+    return _read_scs_data_py(filename, dtype)
+
+
+def _assemble_from_native(v: dict, dtype=None):
+    import jax.numpy as jnp
+    if dtype is None:
+        dtype = jnp.float64
+    spec = ConeSpec(
+        z=int(v["z"]), l=int(v["l"]), bsize=int(v["bsize"]),
+        q=tuple(int(x) for x in v["q"]), s=tuple(int(x) for x in v["s"]),
+        cs=tuple(int(x) for x in v["cs"]), ep=int(v["ep"]), ed=int(v["ed"]),
+        p=tuple(float(x) for x in v["p"]),
+        d=tuple(int(x) for x in v["d"]),
+        nuc_m=tuple(int(x) for x in v["nuc_m"]),
+        nuc_n=tuple(int(x) for x in v["nuc_n"]),
+        ell1=tuple(int(x) for x in v["ell1"]),
+        sl_n=tuple(int(x) for x in v["sl_n"]),
+        sl_k=tuple(int(x) for x in v["sl_k"]))
+    cone_data = ConeData(bu=jnp.asarray(v["bu"], dtype),
+                         bl=jnp.asarray(v["bl"], dtype))
+    problem = Problem(
+        A=jnp.asarray(v["A"], dtype), b=jnp.asarray(v["b"], dtype),
+        c=jnp.asarray(v["c"], dtype),
+        P=None if v["P"] is None else jnp.asarray(v["P"], dtype))
+    if v["legacy"]:
+        accel_type_1 = config.ACCELERATION_TYPE_1
+        accel_reg = config.AA_REGULARIZATION
+        accel_relax = config.AA_RELAXATION
+    else:
+        accel_type_1 = bool(v["accel_type1"])
+        accel_reg = v["accel_reg"]
+        accel_relax = v["accel_relax"]
+    stgs = Settings(
+        normalize=bool(v["normalize"]), scale=v["scale"], rho_x=v["rho_x"],
+        max_iters=int(v["max_iters"]), eps_abs=v["eps_abs"],
+        eps_rel=v["eps_rel"], eps_infeas=v["eps_infeas"], alpha=v["alpha"],
+        verbose=bool(v["verbose"]), warm_start=bool(v["warm_start"]),
+        acceleration_lookback=int(v["accel_lookback"]),
+        acceleration_interval=int(v["accel_interval"]),
+        acceleration_type_1=accel_type_1,
+        acceleration_regularization=accel_reg,
+        acceleration_relaxation=accel_relax,
+        adaptive_scale=bool(v["adaptive_scale"]),
+        time_limit_secs=v["time_limit"], dtype=dtype)
+    return problem, spec, cone_data, stgs
+
+
+def _read_scs_data_py(filename: str, dtype=None):
+    """Pure-Python reader (fallback + reference for the native codec)."""
     import jax.numpy as jnp
     if dtype is None:
         dtype = jnp.float64
@@ -222,7 +276,42 @@ def _dense_to_csc(M: np.ndarray, upper_only: bool = False):
 def write_scs_data(filename: str, problem: Problem, spec: ConeSpec,
                    cone_data: Optional[ConeData] = None,
                    stgs: Settings = Settings()) -> None:
-    """Write the SCS binary format (readable by the reference solver)."""
+    """Write the SCS binary format (readable by the reference solver).
+
+    Uses the native (C++) codec when available, else the pure-Python path.
+    """
+    from .utils import native
+    if native.load() is not None:
+        box_len = max(spec.bsize - 1, 0)
+        bl = np.zeros(box_len) if cone_data is None else np.asarray(cone_data.bl)
+        bu = np.zeros(box_len) if cone_data is None else np.asarray(cone_data.bu)
+        native.write_file(
+            filename, z=spec.z, l=spec.l, bsize=spec.bsize, bl=bl, bu=bu,
+            q=spec.q, s=spec.s, ep=spec.ep, ed=spec.ed, p=spec.p,
+            cs=spec.cs, d=spec.d, nuc_m=spec.nuc_m, nuc_n=spec.nuc_n,
+            ell1=spec.ell1, sl_n=spec.sl_n, sl_k=spec.sl_k,
+            b=np.asarray(problem.b), c=np.asarray(problem.c),
+            A=np.asarray(problem.A),
+            P=None if problem.P is None else np.asarray(problem.P),
+            normalize=stgs.normalize, scale=stgs.scale, rho_x=stgs.rho_x,
+            max_iters=stgs.max_iters, eps_abs=stgs.eps_abs,
+            eps_rel=stgs.eps_rel, eps_infeas=stgs.eps_infeas,
+            alpha=stgs.alpha, verbose=stgs.verbose,
+            accel_lookback=stgs.acceleration_lookback,
+            accel_interval=stgs.acceleration_interval,
+            accel_type1=stgs.acceleration_type_1,
+            accel_reg=stgs.acceleration_regularization,
+            accel_relax=stgs.acceleration_relaxation,
+            adaptive_scale=stgs.adaptive_scale,
+            time_limit=stgs.time_limit_secs)
+        return
+    _write_scs_data_py(filename, problem, spec, cone_data, stgs)
+
+
+def _write_scs_data_py(filename: str, problem: Problem, spec: ConeSpec,
+                       cone_data: Optional[ConeData] = None,
+                       stgs: Settings = Settings()) -> None:
+    """Pure-Python writer (fallback + reference for the native codec)."""
     out = bytearray()
 
     def w_u32(v):
