@@ -82,8 +82,9 @@ def main():
     n = 100
     spec = ConeSpec(z=40, l=120, q=(20, 34, 14, 51, 22, 31, 1, 67))
     B = 64
-    # defaults: eps 1e-4, AA 10, adaptive scale; bounded device programs
-    stg = Settings(chunk_iters=250)
+    # defaults: eps 1e-4, AA 10, adaptive scale, mixed precision (auto on
+    # TPU); direct (inverse-apply) backend; bounded device programs
+    stg = Settings(linsys="direct", chunk_iters=500)
 
     log(f"generating {B} planted SOCPs (n={n}, m={spec.dims()})...")
     probs = [gen_planted(spec, n=n, seed=1000 + i, density=0.1)
@@ -96,18 +97,23 @@ def main():
 
     solver = make_chunked_batch_solver(spec, stg, has_P=False)
 
+    def force(res):
+        # np.asarray, not block_until_ready: the axon remote backend's
+        # block_until_ready can return before execution completes
+        return np.asarray(res.iters)
+
     log("compiling + warmup run...")
     t0 = time.perf_counter()
-    res = jax.block_until_ready(solver(A, b, c, bu, bl))
+    force(solver(A, b, c, bu, bl))
     log(f"warmup (incl. compile): {time.perf_counter() - t0:.1f}s")
 
     log("timed run...")
     t0 = time.perf_counter()
-    res = jax.block_until_ready(solver(A, b, c, bu, bl))
+    res = solver(A, b, c, bu, bl)
+    iters = force(res)
     wall = time.perf_counter() - t0
 
     status = np.asarray(res.status)
-    iters = np.asarray(res.iters)
     solved = int((status == 1).sum())
     total_iters = int(iters.sum())
     ips = total_iters / wall

@@ -31,6 +31,11 @@ import jax
 # assume it). f32 remains available per-problem via Settings.dtype.
 jax.config.update("jax_enable_x64", True)
 
+# TPU MXUs run f32 matmuls as single-pass bf16 by default (~1e-2 relative
+# error) — unusable for a numerical solver. "highest" gives true-f32
+# accumulation (multi-pass bf16) for the f32 fast paths; f64 is unaffected.
+jax.config.update("jax_default_matmul_precision", "highest")
+
 from . import config  # noqa: E402
 from .api import Workspace, solve  # noqa: E402
 from .types import (ConeData, ConeSpec, Info, Problem,  # noqa: E402

@@ -22,11 +22,12 @@ from . import accel, config
 from .cones.box import scale_box_bounds
 from .equilibrate import (equilibrate, identity_scaling, normalize_b_c,
                           normalize_xys, unnormalize_xys)
-from .linsys import get_backend
+from .linsys import (Mats, get_backend, prepare_operands,
+                     resolve_mixed)
 from .solver import (LoopState, ProblemData, Residuals, has_converged,
                      make_runner, populate_residuals, set_diag_r)
 from .types import ConeData, ConeSpec, Info, Problem, Settings, Solution
-from .validation import validate
+from .validation import ValidationError, validate
 
 
 def _compile_key(stg: Settings) -> Settings:
@@ -106,6 +107,7 @@ class Workspace:
         self.spec = spec
         self.stg = stg
         self.backend = get_backend(stg.linsys)
+        self._mixed = resolve_mixed(stg)
 
         A = jnp.asarray(problem.A, dtype)
         P = None if problem.P is None else jnp.asarray(problem.P, dtype)
@@ -142,13 +144,25 @@ class Workspace:
             eps_rel=jnp.asarray(stg.eps_rel, dtype),
             eps_infeas=jnp.asarray(stg.eps_infeas, dtype),
             alpha=jnp.asarray(stg.alpha, dtype))
+        A32, P32, lin_cache = prepare_operands(
+            self.backend, A_n, P_n, spec.z, self._mixed)
+        self.data = dataclasses.replace(
+            self.data, A32=A32, P32=P32, lin_cache=lin_cache)
         self.update(problem.b, problem.c)
 
         self.scale = float(stg.scale)
         self.diag_r = set_diag_r(spec, n, m, jnp.asarray(self.scale, dtype),
                                  stg.rho_x, dtype)
-        self.derived = self.backend.derive(A_n, P_n, self.diag_r)
+        self.derived = self.backend.derive(
+            self._mats(), self.diag_r, jnp.asarray(self.scale, dtype),
+            mixed=self._mixed)
+        self._check_convexity()
         self._runner = _cached_runner(spec, _compile_key(stg))
+        # Mixed precision floors around ~1e-5 true residuals; a pure-f64
+        # polish phase continues from the fast phase's state whenever the
+        # targets (tight eps, 1e-7 certificates) lie below that floor.
+        self._polish_stg = (dataclasses.replace(stg, mixed_precision=False)
+                            if self._mixed else None)
         self._finalizer = _cached_finalizer(spec)
 
         if stg.write_data_filename:
@@ -157,6 +171,32 @@ class Workspace:
                            Problem(A=A, b=b_orig, c=c_orig, P=P),
                            spec, cone_data, stg)
         self.setup_time_ms = (time.perf_counter() - t0) * 1e3
+
+    def _mats(self) -> Mats:
+        d = self.data
+        return Mats(d.A, d.P, d.A32, d.P32, d.lin_cache)
+
+    def _check_convexity(self) -> None:
+        """Setup-time non-convexity detection.
+
+        TPU analog of the reference's factorization inertia checks (QDLDL
+        positive-D count, linsys/cpu/direct/private.c:62-71; Pardiso
+        iparm[21], mkl/direct/private.c:157-161): the Schur complement
+        G = R_x + P + A' R_y^{-1} A is SPD iff P is PSD, so a failed
+        Cholesky (direct) or a nonpositive Jacobi diagonal (indirect)
+        flags an indefinite P.
+        """
+        factor = self.derived[0] if isinstance(self.derived, tuple) \
+            else self.derived
+        if self.stg.linsys == "direct":
+            bad = bool(~jnp.all(jnp.isfinite(factor)))
+        else:
+            bad = bool(jnp.any(factor <= 0.0)
+                       | jnp.any(~jnp.isfinite(factor)))
+        if bad:
+            raise ValidationError(
+                "non-convexity detected: the KKT Schur complement is not "
+                "positive definite (P must be positive semidefinite)")
 
     # -- scs_update (scs.c:1287-1325) --
     def update(self, b=None, c=None) -> None:
@@ -199,7 +239,7 @@ class Workspace:
         # g = (I + M)^{-1} [c; -b] cache (update_work_cache, scs.c:1118-1128)
         h = jnp.concatenate([self.data.c, -self.data.b])
         g, _ = self.backend.solve(
-            self.data.A, self.data.P, self.diag_r, self.derived, h, None,
+            self._mats(), self.diag_r, self.derived, h, None,
             jnp.asarray(config.CG_BEST_TOL, dtype))
 
         mem = max(stg.acceleration_lookback, 1)
@@ -220,10 +260,24 @@ class Workspace:
 
     # -- scs_solve (scs.c:1327-1484) --
     def solve(self, warm_start: bool = False,
-              sol: Optional[Solution] = None) -> tuple[Solution, Info]:
+              sol: Optional[Solution] = None,
+              checkpoint_file: Optional[str] = None,
+              checkpoint_every: int = 0,
+              resume_from: Optional[str] = None) -> tuple[Solution, Info]:
+        """Run the solve loop.
+
+        checkpoint_file/checkpoint_every write the full solver state every
+        `checkpoint_every` iterations (rounded to chunk boundaries);
+        resume_from restores such a checkpoint and continues exactly where
+        it left off — capability beyond the reference, for preemptible
+        accelerators.
+        """
         stg = self.stg
         t0 = time.perf_counter()
         st = self._init_state(sol if (warm_start and sol is not None) else None)
+        if resume_from is not None:
+            from .io import load_state
+            st = load_state(resume_from, st)
 
         if stg.verbose:
             self._print_header()
@@ -240,22 +294,58 @@ class Workspace:
             chunk = min(chunk, config.PRINT_INTERVAL)
         if csv is not None:
             chunk = 1  # per-iteration trace ("makes SCS very slow", scs.h:99)
+        if checkpoint_file and checkpoint_every > 0:
+            chunk = min(chunk, max(checkpoint_every,
+                                   config.CONVERGED_INTERVAL))
+        next_ckpt = checkpoint_every if checkpoint_every > 0 else None
+
+        # Two-phase mixed-precision strategy: the fast phase solves with
+        # targets floored at the mixed path's accuracy (~1e-5 true
+        # residuals); the pure-f64 polish phase then continues from the
+        # SAME state against the user's targets. Tolerances are traced, so
+        # phase 1 is just different ProblemData — no recompile.
+        if self._mixed:
+            floor = jnp.asarray(config.MIXED_FAST_FLOOR, stg.dtype)
+            data1 = dataclasses.replace(
+                self.data,
+                eps_abs=jnp.maximum(self.data.eps_abs, floor),
+                eps_rel=jnp.maximum(self.data.eps_rel, floor),
+                eps_infeas=jnp.maximum(self.data.eps_infeas, floor))
+            phases = [(self._runner, data1), (None, self.data)]
+        else:
+            phases = [(self._runner, self.data)]
+
         try:
-            while True:
-                it, status = map(int, jax.device_get((st.iter, st.status)))
-                if status != config.UNFINISHED or it >= max_iters:
+            for phase_idx, (runner, data) in enumerate(phases):
+                if phase_idx > 0:
+                    st, proceed = self._enter_polish_phase(st)
+                    if not proceed:
+                        break
+                    runner = _cached_runner(self.spec,
+                                            _compile_key(self._polish_stg))
+                while True:
+                    it, status = map(int,
+                                     jax.device_get((st.iter, st.status)))
+                    if status != config.UNFINISHED or it >= max_iters:
+                        break
+                    if stg.time_limit_secs and (
+                            time.perf_counter() - t0) > stg.time_limit_secs:
+                        time_limit_reached = True
+                        break
+                    cap = min(it + chunk, max_iters)
+                    st = runner(data, st, jnp.asarray(cap, jnp.int32))
+                    if (checkpoint_file and next_ckpt is not None
+                            and cap >= next_ckpt):
+                        from .io import save_state
+                        save_state(checkpoint_file, st)
+                        next_ckpt = cap + checkpoint_every
+                    if csv is not None:
+                        r = self._finalizer(self.data, st.u, st.rsk, st.iter)
+                        csv.row(st, r, time.perf_counter() - t0)
+                    if stg.verbose:
+                        self._print_progress(st, time.perf_counter() - t0)
+                if time_limit_reached:
                     break
-                if stg.time_limit_secs and (
-                        time.perf_counter() - t0) > stg.time_limit_secs:
-                    time_limit_reached = True
-                    break
-                cap = min(it + chunk, max_iters)
-                st = self._runner(self.data, st, jnp.asarray(cap, jnp.int32))
-                if csv is not None:
-                    r = self._finalizer(self.data, st.u, st.rsk, st.iter)
-                    csv.row(st, r, time.perf_counter() - t0)
-                if stg.verbose:
-                    self._print_progress(st, time.perf_counter() - t0)
         except KeyboardInterrupt:
             # scs_is_interrupted polling (src/ctrlc.c, scs.c:1400-1403)
             interrupted = True
@@ -274,6 +364,33 @@ class Workspace:
         if stg.verbose:
             self._print_footer(info)
         return solution, info
+
+    def _enter_polish_phase(self, st: LoopState) -> tuple[LoopState, bool]:
+        """Decide whether the pure-f64 polish phase must run, and if so
+        rebuild the f64 factorization/g-cache from the fast phase's state.
+
+        Returns (state, proceed)."""
+        it, status = map(int, jax.device_get((st.iter, st.status)))
+        stg = self.stg
+        floor = config.MIXED_FAST_FLOOR
+        needs = False
+        if it < stg.max_iters:
+            if status == config.SOLVED:
+                needs = stg.eps_abs < floor or stg.eps_rel < floor
+            elif status in (config.INFEASIBLE, config.UNBOUNDED):
+                needs = stg.eps_infeas < floor
+            elif status == config.UNFINISHED:
+                needs = True
+        if not needs:
+            return st, False
+        derived = self.backend.derive(self._mats(), st.diag_r, st.scale,
+                                      mixed=False)
+        h = jnp.concatenate([self.data.c, -self.data.b])
+        g, _ = self.backend.solve(self._mats(), st.diag_r, derived, h, None,
+                                  jnp.asarray(config.CG_BEST_TOL, stg.dtype))
+        st = dataclasses.replace(st, derived=derived, g=g,
+                                 status=jnp.zeros((), jnp.int32))
+        return st, True
 
     def _print_header(self) -> None:
         """Init banner (mirrors print_init_header, scs.c:123-177)."""

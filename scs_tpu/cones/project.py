@@ -124,16 +124,22 @@ def proj_cone(x: jnp.ndarray, spec: ConeSpec, cone_data: ConeData,
         out, new_warm = box.proj_box_cone(seg, cone_data.bl, cone_data.bu,
                                           box_t_warm, r_seg)
         parts.append(out)
-    off = lay.q_off
-    for (sz, ct) in _contiguous_runs(spec.q):
-        if sz == 0:
-            continue  # zero-size cones occupy no rows (cones.c:1252-1253)
-        seg = x[off:off + sz * ct]
-        if sz == 1:
-            parts.append(jnp.maximum(seg, 0.0))
+    q_sizes = tuple(sz for sz in spec.q if sz > 0)  # zero-size cones occupy
+    # no rows (cones.c:1252-1253)
+    if q_sizes:
+        runs = _contiguous_runs(q_sizes)
+        total_q = sum(q_sizes)
+        seg = x[lay.q_off:lay.q_off + total_q]
+        if len(runs) == 1:
+            sz, ct = runs[0]
+            if sz == 1:
+                parts.append(jnp.maximum(seg, 0.0))
+            else:
+                parts.append(
+                    soc.proj_soc_batch(seg.reshape(ct, sz)).reshape(-1))
         else:
-            parts.append(soc.proj_soc_batch(seg.reshape(ct, sz)).reshape(-1))
-        off += sz * ct
+            # mixed sizes: one segment-vectorized pass over all SOC rows
+            parts.append(soc.proj_soc_hetero(seg, q_sizes))
     off = lay.s_off
     for (sz, ct) in _contiguous_runs(spec.s):
         if sz == 0:

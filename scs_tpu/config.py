@@ -50,6 +50,11 @@ AA_RELAXATION = 1.0
 AA_SAFEGUARD_FACTOR = 1.0
 AA_MAX_WEIGHT_NORM = 1e10
 
+# -- mixed precision (TPU-specific; no reference analog) --
+# True-residual floor of the f32-fast phase; targets below it trigger the
+# pure-f64 polish phase (see api.Workspace.solve).
+MIXED_FAST_FLOOR = 1e-5
+
 # -- conjugate gradient (indirect linear solver; glbopts.h:246-257) --
 CG_BEST_TOL = 1e-12
 CG_TOL_FACTOR = 0.2

@@ -391,6 +391,47 @@ def _write_scs_data_py(filename: str, problem: Problem, spec: ConeSpec,
         f.write(bytes(out))
 
 
+def save_state(filename: str, state) -> None:
+    """Checkpoint a mid-solve LoopState pytree to .npz.
+
+    Capability beyond the reference (its solver state is not checkpointable;
+    SURVEY.md section 5 'Checkpoint / resume'): the whole iterate — v, u,
+    diag_r, the linsys factor, AA ring buffers, residual snapshot, counters —
+    is a fixed-structure pytree, so a solve can resume exactly after
+    preemption. Pair with Workspace.solve(checkpoint_file=...,
+    resume_from=...).
+    """
+    import jax
+    leaves = jax.tree_util.tree_leaves(state)
+    np.savez_compressed(
+        filename, __scs_tpu_state_version__=np.asarray(1),
+        **{f"leaf_{i}": np.asarray(v) for i, v in enumerate(leaves)})
+
+
+def load_state(filename: str, template):
+    """Restore a LoopState checkpoint written by save_state.
+
+    ``template`` supplies the pytree structure (e.g. a freshly initialized
+    state for the same Workspace); shapes and dtypes must match.
+    """
+    import jax
+    import jax.numpy as jnp
+    z = np.load(filename)
+    if int(z["__scs_tpu_state_version__"]) != 1:
+        raise ValueError("unsupported state checkpoint version")
+    leaves, treedef = jax.tree_util.tree_flatten(template)
+    new_leaves = []
+    for i, leaf in enumerate(leaves):
+        arr = z[f"leaf_{i}"]
+        want = jnp.asarray(leaf)
+        if arr.shape != want.shape:
+            raise ValueError(
+                f"checkpoint leaf {i} shape {arr.shape} != expected "
+                f"{want.shape} (different problem or settings?)")
+        new_leaves.append(jnp.asarray(arr, want.dtype))
+    return jax.tree_util.tree_unflatten(treedef, new_leaves)
+
+
 def save_npz(filename: str, problem: Problem, spec: ConeSpec,
              cone_data: Optional[ConeData] = None) -> None:
     """Native dense .npz serialization."""

@@ -6,42 +6,153 @@ LDL' is a poor fit for the MXU, so we use the dense Gram formulation already
 present in the reference's cpu/dense backend
 (/root/reference/linsys/cpu/dense/private.c:64-220):
 
-    G = R_x + P + A' R_y^{-1} A     (n x n, SPD)
-    factor once (Cholesky), two triangular solves per iteration,
-    refactor on diag-R updates (scs_update_lin_sys_diag_r semantics).
+    G = R_x + P + A' R_y^{-1} A = R_x + P + scale * K   (n x n, SPD)
 
-The Gram build is one (n, m) x (m, n) matmul on the MXU.
+with K = A'A + 999 A_z'A_z precomputed once (see linsys/__init__.py "Scale
+structure"), factored on diag-R updates, applied every iteration.
+
+Mixed precision (TPU-native; no reference analog): with derive(mixed=True)
+the factor is the explicit f32 inverse G^{-1} (via Cholesky), so each
+solve is ONE (n, n) x (n,) matmul on the MXU — triangular solves are
+length-n sequential dependency chains, the worst shape for a systolic
+array. Two unrolled f64 refinement passes (residual via the invariant K)
+recover f64-accurate solutions; the mild instability of an explicit
+inverse is exactly what refinement corrects. TPUs emulate f64 in software
+at ~20x the cost of f32.
 """
 
 from __future__ import annotations
 
+from typing import Any, NamedTuple, Optional
+
 import jax
 import jax.numpy as jnp
+
+from ..ops import dsmatvec
 
 METHOD_NAME = "dense-direct-schur-cholesky"
 
 
-def derive(A, P, diag_r):
-    """Cholesky factor L of the Schur complement G."""
-    m, n = A.shape
-    r_y = diag_r[n:n + m]
-    G = A.T @ (A / r_y[:, None])
-    G = G + jnp.diag(diag_r[:n])
-    if P is not None:
-        G = G + P
-    return jnp.linalg.cholesky(G)
+class DirectCache(NamedTuple):
+    """Loop-invariant operand cache (ProblemData.lin_cache)."""
+
+    K: Any                       # scale-free Gram, f64
+    ds_fwd: Optional[Any]        # (hi, lo) split of A (pallas ds matvec)
+    ds_bwd: Optional[Any]        # (hi, lo) split of A'
+    ds_K: Optional[Any]          # (hi, lo) split of K
+
+# Two unrolled correction passes reach f64 round-off for moderately
+# conditioned G (each pass gains ~7 decades over the f32 factor). Unrolled,
+# not a while_loop: loop control costs more than the fixed matvecs, and
+# refining an already-converged x is a no-op.
+REFINE_PASSES = 2
 
 
-def solve(A, P, diag_r, derived, rhs, warm_start, tol):
-    """Solve the full (n+m) KKT system; returns (sol, 0). warm/tol unused."""
+def precompute(A, P, n_zero: int):
+    """Scale-free Gram cache K = A'A + 999 A_z'A_z (invariant), plus the
+    double-single operand splits for the Pallas matvec fast path."""
+    del P
+    Az = A[:n_zero]
+    K = A.T @ A
+    if n_zero:
+        K = K + 999.0 * (Az.T @ Az)
+    if dsmatvec.supported():
+        return DirectCache(K, dsmatvec.split_operand(A),
+                           dsmatvec.split_operand(A.T),
+                           dsmatvec.split_operand(K))
+    return DirectCache(K, None, None, None)
+
+
+def _gram(mats, diag_r, scale):
+    n = mats.A.shape[1]
+    G = scale * mats.cache.K + jnp.diag(diag_r[:n])
+    if mats.P is not None:
+        G = G + mats.P
+    return G
+
+
+def _gram_matvec(mats, diag_r, scale, x):
+    """G x via the invariant K (no materialized per-scale G)."""
+    n = mats.A.shape[1]
+    cache = mats.cache
+    if cache.ds_K is not None:
+        Kx = dsmatvec.ds_matvec(cache.ds_K, x, n, n)
+    else:
+        Kx = cache.K @ x
+    y = scale * Kx + diag_r[:n] * x
+    if mats.P is not None:
+        y = y + mats.P @ x
+    return y
+
+
+def _A_matvec(mats, x):
+    if mats.cache.ds_fwd is not None:
+        m, n = mats.A.shape
+        return dsmatvec.ds_matvec(mats.cache.ds_fwd, x, m, n)
+    return mats.A @ x
+
+
+def _At_matvec(mats, z):
+    if mats.cache.ds_bwd is not None:
+        m, n = mats.A.shape
+        return dsmatvec.ds_matvec(mats.cache.ds_bwd, z, n, m)
+    return mats.A.T @ z
+
+
+def derive(mats, diag_r, scale, mixed: bool = False):
+    """Factor the Schur complement: Cholesky (pure) or explicit f32
+    inverse (mixed)."""
+    G = _gram(mats, diag_r, scale)
+    if not mixed:
+        return jnp.linalg.cholesky(G)
+    L32 = jnp.linalg.cholesky(G.astype(jnp.float32))
+    eye = jnp.eye(G.shape[0], dtype=jnp.float32)
+    Ginv32 = jax.scipy.linalg.cho_solve((L32, True), eye)
+    return (Ginv32, jnp.asarray(scale, mats.A.dtype))
+
+
+def _chol_solve(L, b):
+    z = jax.scipy.linalg.solve_triangular(L, b, lower=True)
+    return jax.scipy.linalg.solve_triangular(L.T, z, lower=False)
+
+
+def solve(mats, diag_r, derived, rhs, warm_start, tol):
+    """Solve the full (n+m) KKT system; returns (sol, refine_passes).
+
+    warm_start/tol are unused (direct solves are unconditionally
+    accurate to the path's floor).
+
+    Mixed path precision budget (TPU, determined empirically by noise
+    injection): the Schur RHS build and the y-recovery must be accurate
+    to ~1e-6 absolute or the DR trajectory degrades (1e-5 errors grow
+    iteration counts ~3x and stall certificates), so they stay f64. The
+    factor apply is the f32 inverse (matmul on the MXU) and the
+    refinement residual uses the f64 Gram cache K — cheaper than a fresh
+    f64 A-matvec pair.
+    """
     del warm_start, tol
+    A = mats.A
     m, n = A.shape
-    L = derived
     r_y = diag_r[n:n + m]
     rx = rhs[:n]
     ry = rhs[n:]
-    b = rx + A.T @ (ry / r_y)
-    z = jax.scipy.linalg.solve_triangular(L, b, lower=True)
-    x = jax.scipy.linalg.solve_triangular(L.T, z, lower=False)
-    y = ((A @ x) - ry) / r_y
-    return jnp.concatenate([x, y]), jnp.zeros((), jnp.int32)
+
+    if not isinstance(derived, tuple):  # pure path: Cholesky factor, f64
+        b = rx + A.T @ (ry / r_y)
+        x = _chol_solve(derived, b)
+        its = jnp.zeros((), jnp.int32)
+        y = ((A @ x) - ry) / r_y
+    else:  # mixed path: f32 inverse-apply + unrolled K refinement, with
+        # all f64-accuracy matvecs on the double-single Pallas kernel
+        Ginv32, scale = derived
+        f32 = jnp.float32
+        dtype = rhs.dtype
+        b = rx + _At_matvec(mats, ry / r_y)
+        x = (Ginv32 @ b.astype(f32)).astype(dtype)
+        for _ in range(REFINE_PASSES):
+            r = b - _gram_matvec(mats, diag_r, scale, x)
+            x = x + (Ginv32 @ r.astype(f32)).astype(dtype)
+        its = jnp.asarray(REFINE_PASSES, jnp.int32)
+        y = (_A_matvec(mats, x) - ry) / r_y
+
+    return jnp.concatenate([x, y]), its

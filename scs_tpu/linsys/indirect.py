@@ -14,8 +14,14 @@ with Jacobi (diagonal) preconditioned CG, matching the reference backend
 (m, n) x (n,) contractions that map straight onto the TPU MXU; the CG loop
 is a lax.while_loop so the whole solve stays on-device.
 
-Backend protocol: derive() builds the preconditioner (the "factorization"
-analog), solve() performs one KKT solve. Both are pure.
+Mixed precision (TPU-native; no reference analog): the CG inner loop runs
+on the f32 shadow operands carried in Mats (loop-invariant, so they are
+never select-copied by a vmapped while_loop) inside an outer f64
+iterative-refinement loop that recomputes the true residual and re-solves
+for the correction until the requested tolerance holds. Cost per
+refinement pass is one f64 matvec pair; typical solves need 1-3 passes.
+
+Backend protocol: see linsys/__init__.py.
 """
 
 from __future__ import annotations
@@ -25,18 +31,35 @@ import jax.numpy as jnp
 
 METHOD_NAME = "dense-indirect-jacobi-pcg"
 
+# Refinement passes cap: each pass gains ~5 decades of accuracy (f32 CG
+# stall floor), so 6 covers the full f64 range with margin.
+MAX_REFINE = 6
+# Per-pass accuracy target relative to the pass's starting residual: stay
+# above the f32 CG stall floor (~1e-7 relative).
+REFINE_PASS_RTOL = 3e-6
 
-def derive(A, P, diag_r):
-    """Inverse Jacobi preconditioner M = 1/diag(R_x + P + A' R_y^{-1} A).
 
-    Reference: set_preconditioner, private.c:50-82.
-    """
-    m, n = A.shape
-    r_y = diag_r[n:n + m]
-    d = diag_r[:n] + jnp.sum(A * A / r_y[:, None], axis=0)
-    if P is not None:
-        d = d + jnp.diagonal(P)
-    return 1.0 / d
+def precompute(A, P, n_zero: int):
+    """Scale-free preconditioner cache diag(K) = diag(A'A + 999 A_z'A_z)."""
+    del P
+    d = jnp.sum(A * A, axis=0)
+    if n_zero:
+        Az = A[:n_zero]
+        d = d + 999.0 * jnp.sum(Az * Az, axis=0)
+    return d
+
+
+def derive(mats, diag_r, scale, mixed: bool = False):
+    """Inverse Jacobi preconditioner M = 1/diag(R_x + P + scale K)
+    (set_preconditioner analog, private.c:50-82)."""
+    n = mats.A.shape[1]
+    d = diag_r[:n] + scale * mats.cache
+    if mats.P is not None:
+        d = d + jnp.diagonal(mats.P)
+    M = 1.0 / d
+    if not mixed:
+        return M
+    return (M.astype(jnp.float32), diag_r.astype(jnp.float32))
 
 
 def _mat_vec(A, P, diag_r, x):
@@ -50,7 +73,7 @@ def _mat_vec(A, P, diag_r, x):
     return y
 
 
-def _pcg(A, P, diag_r, M, s, b, max_its: int, tol):
+def _pcg(A, P, diag_r, M, s, b, max_its, tol):
     """Preconditioned CG; returns (x, iters). Matches private.c:133-217,
     including the inf-norm convergence test and the ztr == 0 early exit."""
     if s is None:
@@ -87,13 +110,45 @@ def _pcg(A, P, diag_r, M, s, b, max_its: int, tol):
     return x, iters
 
 
-def solve(A, P, diag_r, derived, rhs, warm_start, tol):
-    """Solve the full (n+m) KKT system. rhs = [rx; ry]; returns (sol, cg_iters).
+def _solve_schur_mixed(mats, diag_r, derived, b, warm_start, tol, max_its):
+    """f32 CG inner loop + f64 iterative refinement outer loop."""
+    M32, dr32 = derived
+    A, P = mats.A, mats.P
+    A32, P32 = mats.A32, mats.P32
+    f32 = jnp.float32
+    dtype = b.dtype
+
+    x0 = jnp.zeros_like(b) if warm_start is None else warm_start
+    r0 = b - _mat_vec(A, P, diag_r, x0) if warm_start is not None else b
+
+    def cond(carry):
+        _, r, k, _ = carry
+        return (jnp.max(jnp.abs(r)) > tol) & (k < MAX_REFINE)
+
+    def body(carry):
+        x, r, k, tot = carry
+        pass_tol = jnp.maximum(tol, REFINE_PASS_RTOL * jnp.max(jnp.abs(r)))
+        d32, its = _pcg(A32, P32, dr32, M32, None, r.astype(f32),
+                        max_its, pass_tol.astype(f32))
+        x = x + d32.astype(dtype)
+        r = b - _mat_vec(A, P, diag_r, x)
+        return (x, r, k + 1, tot + its)
+
+    x, _, _, iters = jax.lax.while_loop(
+        cond, body, (x0, r0, jnp.zeros((), jnp.int32),
+                     jnp.zeros((), jnp.int32)))
+    return x, iters
+
+
+def solve(mats, diag_r, derived, rhs, warm_start, tol):
+    """Solve the full (n+m) KKT system. rhs = [rx; ry]; returns (sol, its).
 
     Reference: scs_solve_lin_sys, private.c:284-324.
     """
+    A, P = mats.A, mats.P
     m, n = A.shape
     r_y = diag_r[n:n + m]
+    mixed = isinstance(derived, tuple)
 
     def zero_branch(_):
         return jnp.zeros_like(rhs), jnp.zeros((), jnp.int32)
@@ -101,8 +156,16 @@ def solve(A, P, diag_r, derived, rhs, warm_start, tol):
     def solve_branch(_):
         rx = rhs[:n]
         ry = rhs[n:]
+        # RHS build / y-recovery stay f64: the DR trajectory needs the KKT
+        # solve consistent to ~1e-6 absolute (see direct.solve's precision
+        # budget note); the f32 speed lives inside the CG inner loop.
         b = rx + A.T @ (ry / r_y)
-        x, iters = _pcg(A, P, diag_r, derived, warm_start, b, 10 * n, tol)
+        if mixed:
+            x, iters = _solve_schur_mixed(mats, diag_r, derived, b,
+                                          warm_start, tol, 10 * n)
+        else:
+            x, iters = _pcg(A, P, diag_r, derived, warm_start, b, 10 * n,
+                            tol)
         y = ((A @ x) - ry) / r_y
         return jnp.concatenate([x, y]), iters
 

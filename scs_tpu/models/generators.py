@@ -32,7 +32,41 @@ class PlantedProblem:
     opt: float  # optimal objective (1/2 x'Px + c'x)
 
 
+def _project_dual_np(z: np.ndarray, spec: ConeSpec) -> np.ndarray:
+    """Pure-numpy dual-cone projection for self-dual layouts (zero/
+    nonneg/SOC): generation stays host-side with no device dispatches
+    (the jax path costs a device round-trip per problem, which dominates
+    batch-generation time on remote accelerators)."""
+    out = z.copy()
+    off = spec.z  # zero cone: dual is free -> identity
+    out[off:off + spec.l] = np.maximum(out[off:off + spec.l], 0.0)
+    off += spec.l
+    for q in spec.q:
+        v = out[off:off + q]
+        if q == 1:
+            v[:] = np.maximum(v, 0.0)
+        else:
+            t, x = v[0], v[1:]
+            nx = np.linalg.norm(x)
+            if nx <= t:
+                pass
+            elif nx <= -t:
+                v[:] = 0.0
+            else:
+                a = 0.5 * (1.0 + t / nx)
+                v[0] = a * nx
+                v[1:] = a * x
+        off += q
+    return out
+
+
 def _project_dual(z: np.ndarray, spec: ConeSpec, cone_data: ConeData):
+    simple = (spec.bsize == 0 and not spec.s and not spec.cs
+              and spec.ep == 0 and spec.ed == 0 and not spec.p
+              and not spec.d and not spec.nuc_m and not spec.ell1
+              and not spec.sl_n)
+    if simple:
+        return _project_dual_np(np.asarray(z, np.float64), spec)
     out, _ = proj_dual_cone(jnp.asarray(z, jnp.float64), spec, cone_data,
                             jnp.ones(()), None)
     return np.asarray(out)

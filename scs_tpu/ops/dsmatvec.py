@@ -1,0 +1,204 @@
+"""Double-single (compensated f32) matvec Pallas kernel.
+
+Why this exists: TPUs have no f64 hardware — XLA emulates f64 matmuls in
+software at ~2 GFLOP/s-class throughput on this chip (a (64,400,100) f64
+batched matvec costs ~2.8 ms; the same op in f32 is ~50x faster). The
+splitting solver's per-iteration KKT solve needs its two A-matvecs
+accurate to ~1e-6 absolute (empirically: 1e-5 errors triple iteration
+counts and stall certificates — see linsys/direct.py), which plain f32
+accumulation (~1e-5) just misses.
+
+This kernel computes y = A @ x with BOTH operands and the accumulation in
+double-single arithmetic (value = hi + lo, two f32 words, ~2^-48 relative
+accuracy) using error-free transformations on the VPU:
+
+  * two_sum   (Knuth): exact a + b = s + err, 6 flops, branch-free
+  * two_prod  (Dekker): exact a * b = p + err via 12-bit splits (no FMA
+    primitive is exposed), ~17 flops
+  * lane-axis butterfly reduction with ds_add at every level
+
+The result is ~1e-13-relative matvecs at f32 VPU speed, reading A (as an
+hi/lo f32 pair) from HBM exactly once.
+
+The f64 operand pair (Ahi, Alo = A - Ahi) is prepared once per problem by
+``split`` (loop-invariant; lives in ProblemData-like caches). CPU or
+non-Pallas backends fall back to the plain f64 einsum.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_SPLITTER = 4097.0  # 2^12 + 1 (Dekker split for f32; python float stays
+# weak-typed, so f32 array ops remain f32)
+
+
+def _two_sum(a, b):
+    s = a + b
+    bb = s - a
+    err = (a - (s - bb)) + (b - bb)
+    return s, err
+
+
+def _split(a):
+    c = _SPLITTER * a
+    hi = c - (c - a)
+    return hi, a - hi
+
+
+def _two_prod(a, b):
+    p = a * b
+    a1, a2 = _split(a)
+    b1, b2 = _split(b)
+    err = ((a1 * b1 - p) + a1 * b2 + a2 * b1) + a2 * b2
+    return p, err
+
+
+def _ds_add(xh, xl, yh, yl):
+    s, e = _two_sum(xh, yh)
+    e = e + (xl + yl)
+    hi = s + e
+    lo = e - (hi - s)
+    return hi, lo
+
+
+def _kernel(ahi_ref, alo_ref, xhi_ref, xlo_ref, oh_ref, ol_ref,
+            *, n_pad: int):
+    ahi = ahi_ref[:]
+    alo = alo_ref[:]
+    xhi = xhi_ref[:]            # (1, n_pad), broadcasts over rows
+    xlo = xlo_ref[:]
+
+    # elementwise double-single products:
+    # (ahi + alo)(xhi + xlo) = two_prod(ahi, xhi) + ahi*xlo + alo*xhi + O(2^-48)
+    ph, pe = _two_prod(ahi, xhi)
+    pe = pe + (ahi * xlo + alo * xhi)
+
+    # butterfly all-reduce across the lane axis in ds arithmetic
+    shift = n_pad // 2
+    while shift >= 1:
+        # shift must be i32 (x64 mode would promote a python int to i64,
+        # which tpu.dynamic_rotate rejects)
+        qh = pltpu.roll(ph, np.int32(shift), axis=1)
+        ql = pltpu.roll(pe, np.int32(shift), axis=1)
+        ph, pe = _ds_add(ph, pe, qh, ql)
+        shift //= 2
+
+    oh_ref[:] = ph[:, 0:1]
+    ol_ref[:] = pe[:, 0:1]
+
+
+def _pad_to(v: int, mult: int) -> int:
+    return ((v + mult - 1) // mult) * mult
+
+
+def _pad_pow2(v: int, floor: int) -> int:
+    """Next power of two >= max(v, floor) — the roll-based butterfly
+    all-reduce is only correct on power-of-two axis lengths."""
+    p = floor
+    while p < v:
+        p *= 2
+    return p
+
+
+def split_operand(A):
+    """Split an f64 matrix into the padded (hi, lo) f32 pair the kernel
+    reads. Pad columns to a power-of-two lane multiple (zeros are exact
+    no-ops in the compensated sum) and rows to a sublane multiple."""
+    m, n = A.shape
+    mp, np_ = _pad_to(max(m, 8), 8), _pad_pow2(n, 128)
+    Ap = jnp.pad(A, ((0, mp - m), (0, np_ - n)))
+    hi = Ap.astype(jnp.float32)
+    lo = (Ap - hi.astype(A.dtype)).astype(jnp.float32)
+    return hi, lo
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("m", "n", "block_m", "interpret"))
+def _ds_matvec_padded(Ahi, Alo, x, m: int, n: int, block_m: int = 512,
+                      interpret: bool = False):
+    """y (m,) f64 = A @ x given padded split operands (mp, np)."""
+    mp, np_ = Ahi.shape
+    dtype = x.dtype
+    xhi = jnp.zeros((1, np_), jnp.float32).at[0, :n].set(
+        x.astype(jnp.float32))
+    xlo = jnp.zeros((1, np_), jnp.float32).at[0, :n].set(
+        (x - xhi[0, :n].astype(dtype)).astype(jnp.float32))
+
+    bm = min(block_m, mp)
+    while mp % bm:
+        bm //= 2
+    grid = (mp // bm,)
+
+    # under jax_enable_x64 python ints in index maps trace as i64, which
+    # Mosaic rejects — return explicit int32 block indices
+    def row_map(i):
+        return (jnp.int32(i), jnp.int32(0))
+
+    def bcast_map(i):
+        return (jnp.int32(0), jnp.int32(0))
+    oh, ol = pl.pallas_call(
+        functools.partial(_kernel, n_pad=np_),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, np_), row_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, np_), row_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, np_), bcast_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, np_), bcast_map, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((bm, 1), row_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, 1), row_map, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((mp, 1), jnp.float32),
+            jax.ShapeDtypeStruct((mp, 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(Ahi, Alo, xhi, xlo)
+    y = oh[:m, 0].astype(dtype) + ol[:m, 0].astype(dtype)
+    return y
+
+
+def ds_matvec(split, x, m: int, n: int):
+    """y = A @ x (f64-accurate) from split = (Ahi, Alo) padded pair."""
+    Ahi, Alo = split
+    return _ds_matvec_padded(Ahi, Alo, x, m=m, n=n)
+
+
+def supported() -> bool:
+    """Pallas path availability (TPU-like backends only)."""
+    return jax.default_backend() != "cpu"
+
+
+class DsOperator:
+    """Loop-invariant double-single operator for A and A' applies."""
+
+    def __init__(self, A):
+        self.m, self.n = A.shape
+        self.fwd = split_operand(A)
+        self.bwd = split_operand(A.T)
+
+    def matvec(self, x):
+        return ds_matvec(self.fwd, x, self.m, self.n)
+
+    def rmatvec(self, z):
+        return ds_matvec(self.bwd, z, self.n, self.m)
+
+
+def reference_error_probe(key=0, B=1, m=400, n=100, scale=1.0):
+    """Self-test helper: max |ds - f64| on random data (used by tests and
+    hardware validation)."""
+    rng = np.random.RandomState(key)
+    A = jnp.asarray(rng.randn(m, n) * scale)
+    x = jnp.asarray(rng.randn(n) * scale)
+    op = DsOperator(A)
+    y = op.matvec(x)
+    ref = jnp.asarray(np.asarray(A, np.float64) @ np.asarray(x, np.float64))
+    return float(jnp.max(jnp.abs(y - ref)))

@@ -27,8 +27,9 @@ from ..accel import aa_init
 from ..equilibrate import (equilibrate, identity_scaling, normalize_b_c,
                            unnormalize_xys)
 from ..cones.box import scale_box_bounds
-from ..linsys import get_backend
-from ..solver import (LoopState, ProblemData, Residuals, make_step,
+from ..linsys import (Mats, get_backend, prepare_operands,
+                      resolve_mixed)
+from ..solver import (LoopState, ProblemData, Residuals, make_loop,
                       populate_residuals, set_diag_r)
 from ..types import ConeData, ConeSpec, Settings
 
@@ -63,7 +64,8 @@ def make_solver_parts(spec: ConeSpec, stg: Settings):
     final_fn(data, state) -> SolveResult.
     """
     backend = get_backend(stg.linsys)
-    step, _ = make_step(spec, stg)
+    mixed = resolve_mixed(stg)
+    loop = make_loop(spec, stg)
 
     def init_fn(A, P, b, c, bu, bl):
         dtype = A.dtype
@@ -92,12 +94,18 @@ def make_solver_parts(spec: ConeSpec, stg: Settings):
             eps_rel=jnp.asarray(stg.eps_rel, dtype),
             eps_infeas=jnp.asarray(stg.eps_infeas, dtype),
             alpha=jnp.asarray(stg.alpha, dtype))
+        A32, P32, lin_cache = prepare_operands(backend, A_n, P_n, spec.z,
+                                               mixed)
+        data = dataclasses.replace(data, A32=A32, P32=P32,
+                                   lin_cache=lin_cache)
+        mats = Mats(A_n, P_n, A32, P32, lin_cache)
 
         diag_r = set_diag_r(spec, n, m, jnp.asarray(stg.scale, dtype),
                             stg.rho_x, dtype)
-        derived = backend.derive(A_n, P_n, diag_r)
+        derived = backend.derive(mats, diag_r,
+                                 jnp.asarray(stg.scale, dtype), mixed=mixed)
         h = jnp.concatenate([c_n, -b_n])
-        g, _ = backend.solve(A_n, P_n, diag_r, derived, h, None,
+        g, _ = backend.solve(mats, diag_r, derived, h, None,
                              jnp.asarray(config.CG_BEST_TOL, dtype))
 
         zero_l = jnp.zeros((l,), dtype)
@@ -116,9 +124,7 @@ def make_solver_parts(spec: ConeSpec, stg: Settings):
         return data, st
 
     def chunk_fn(data: ProblemData, st: LoopState, iter_cap) -> LoopState:
-        return jax.lax.while_loop(
-            lambda s: (s.status == config.UNFINISHED) & (s.iter < iter_cap),
-            lambda s: step(data, s), st)
+        return loop(data, st, iter_cap)
 
     def final_fn(data: ProblemData, st: LoopState) -> SolveResult:
         m, n = data.A.shape
@@ -178,18 +184,67 @@ def make_solver_parts(spec: ConeSpec, stg: Settings):
     return init_fn, chunk_fn, final_fn
 
 
+def _floored_data(data: ProblemData, dtype) -> ProblemData:
+    """Fast-phase targets: tolerances floored at the mixed path's true-
+    residual floor (see api.Workspace.solve's two-phase strategy)."""
+    floor = jnp.asarray(config.MIXED_FAST_FLOOR, dtype)
+    return dataclasses.replace(
+        data,
+        eps_abs=jnp.maximum(data.eps_abs, floor),
+        eps_rel=jnp.maximum(data.eps_rel, floor),
+        eps_infeas=jnp.maximum(data.eps_infeas, floor))
+
+
+def make_repair_fn(spec: ConeSpec, stg: Settings):
+    """Per-problem transition from the fast phase into the f64 polish
+    phase: rebuild the f64 factorization + g-cache, and reset status to
+    UNFINISHED for lanes whose true targets lie below the fast floor."""
+    backend = get_backend(stg.linsys)
+
+    def repair(data: ProblemData, st):
+        mats = Mats(data.A, data.P, data.A32, data.P32, data.lin_cache)
+        derived = backend.derive(mats, st.diag_r, st.scale, mixed=False)
+        h = jnp.concatenate([data.c, -data.b])
+        g, _ = backend.solve(mats, st.diag_r, derived, h, None,
+                             jnp.asarray(config.CG_BEST_TOL, h.dtype))
+        floor = config.MIXED_FAST_FLOOR
+        solved_tight = ((st.status == config.SOLVED)
+                        & ((data.eps_abs < floor) | (data.eps_rel < floor)))
+        cert_tight = (((st.status == config.INFEASIBLE)
+                       | (st.status == config.UNBOUNDED))
+                      & (data.eps_infeas < floor))
+        needs = solved_tight | cert_tight
+        status = jnp.where(needs, jnp.zeros((), jnp.int32), st.status)
+        return dataclasses.replace(st, derived=derived, g=g, status=status)
+
+    return repair
+
+
 def make_pure_solver(spec: ConeSpec, stg: Settings,
                      max_iters: Optional[int] = None):
     """Single-dispatch solve_fn(A, P, b, c, bu, bl) -> SolveResult.
 
-    All shapes static; vmap/shard freely. P may be None (static).
+    All shapes static; vmap/shard freely. P may be None (static). When the
+    mixed path is active, the full two-phase (fast + f64 polish) strategy
+    runs inside the one dispatch.
     """
     init_fn, chunk_fn, final_fn = make_solver_parts(spec, stg)
     cap = stg.max_iters if max_iters is None else max_iters
+    mixed = resolve_mixed(stg)
+    if mixed:
+        stg2 = dataclasses.replace(stg, mixed_precision=False)
+        _, chunk2_fn, _ = make_solver_parts(spec, stg2)
+        repair_fn = make_repair_fn(spec, stg2)
 
     def solve_fn(A, P, b, c, bu, bl) -> SolveResult:
         data, st = init_fn(A, P, b, c, bu, bl)
-        st = chunk_fn(data, st, jnp.asarray(cap, jnp.int32))
+        cap_arr = jnp.asarray(cap, jnp.int32)
+        if mixed:
+            st = chunk_fn(_floored_data(data, A.dtype), st, cap_arr)
+            st = repair_fn(data, st)
+            st = chunk2_fn(data, st, cap_arr)
+        else:
+            st = chunk_fn(data, st, cap_arr)
         return final_fn(data, st)
 
     return solve_fn
@@ -230,20 +285,44 @@ def make_chunked_batch_solver(spec: ConeSpec, stg: Settings,
     init_b = jax.jit(_vmap_six(init_fn, has_P))
     chunk_b = jax.jit(jax.vmap(chunk_fn, in_axes=(0, 0, None)))
     final_b = jax.jit(jax.vmap(final_fn))
+    mixed = resolve_mixed(stg)
+    floor = config.MIXED_FAST_FLOOR
     import numpy as np
 
-    def solve(*arrays, max_iters: Optional[int] = None) -> SolveResult:
-        cap_total = stg.max_iters if max_iters is None else max_iters
-        data, st = init_b(*arrays)
+    def run_phase(chunk_kernel, data, st, cap_total):
         chunk = max(stg.chunk_iters, 25)
-        done_at = 0
         while True:
             running = np.asarray((st.status == config.UNFINISHED)
                                  & (st.iter < cap_total))
             if not running.any():
-                break
+                return st
             done_at = min(int(np.asarray(st.iter).max()) + chunk, cap_total)
-            st = chunk_b(data, st, jnp.asarray(done_at, jnp.int32))
+            st = chunk_kernel(data, st, jnp.asarray(done_at, jnp.int32))
+
+    def solve(*arrays, max_iters: Optional[int] = None) -> SolveResult:
+        cap_total = stg.max_iters if max_iters is None else max_iters
+        data, st = init_b(*arrays)
+        if not mixed:
+            st = run_phase(chunk_b, data, st, cap_total)
+            return final_b(data, st)
+
+        # fast phase at floored targets
+        st = run_phase(chunk_b, _floored_data(data, arrays[0].dtype), st,
+                       cap_total)
+        # lazy polish phase: compile the f64 program only if some lane's
+        # true targets lie below the fast floor AND its status needs it
+        status = np.asarray(st.status)
+        solved_tight = ((status == config.SOLVED)
+                        & ((stg.eps_abs < floor) | (stg.eps_rel < floor)))
+        cert_tight = (np.isin(status, (config.INFEASIBLE, config.UNBOUNDED))
+                      & (stg.eps_infeas < floor))
+        if (solved_tight | cert_tight).any():
+            stg2 = dataclasses.replace(stg, mixed_precision=False)
+            _, chunk2_fn, _ = make_solver_parts(spec, stg2)
+            repair_b = jax.jit(jax.vmap(make_repair_fn(spec, stg2)))
+            chunk2_b = jax.jit(jax.vmap(chunk2_fn, in_axes=(0, 0, None)))
+            st = repair_b(data, st)
+            st = run_phase(chunk2_b, data, st, cap_total)
         return final_b(data, st)
 
     return solve

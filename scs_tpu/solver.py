@@ -30,7 +30,7 @@ import jax.numpy as jnp
 from . import accel, config
 from .cones.project import proj_dual_cone
 from .equilibrate import Scaling
-from .linsys import get_backend
+from .linsys import Mats, get_backend, resolve_mixed
 from .types import ConeData, ConeSpec, Settings
 
 
@@ -55,6 +55,12 @@ class ProblemData:
     eps_rel: jax.Array
     eps_infeas: jax.Array
     alpha: jax.Array
+    # loop-invariant linear-system operands (f32 shadows + scale-free Gram
+    # cache; see linsys/__init__.py "Carry discipline") — kept OUT of the
+    # while_loop carry so the vmapped loop never select-copies them
+    A32: Optional[jax.Array] = None
+    P32: Optional[jax.Array] = None
+    lin_cache: Any = None
 
 
 @jax.tree_util.register_dataclass
@@ -290,17 +296,21 @@ def has_converged(r: Residuals, data: ProblemData, stg: Settings):
                             config.UNFINISHED))).astype(jnp.int32)
 
 
-def make_step(spec: ConeSpec, stg: Settings):
-    """Build the single-iteration body (pure function of (data, state))."""
+def make_steps(spec: ConeSpec, stg: Settings):
+    """Build (plain_step, check_step, update_work_cache) iteration bodies."""
     backend = get_backend(stg.linsys)
+    mixed = resolve_mixed(stg)
     use_aa = stg.acceleration_lookback > 0
     mem = max(stg.acceleration_lookback, 1)
     is_indirect = stg.linsys == "indirect"
 
+    def _mats(data: ProblemData) -> Mats:
+        return Mats(data.A, data.P, data.A32, data.P32, data.lin_cache)
+
     def update_work_cache(data: ProblemData, diag_r, derived):
         """g = (I + M)^{-1} [c; -b] (scs.c:1118-1128)."""
         h = jnp.concatenate([data.c, -data.b])
-        g, _ = backend.solve(data.A, data.P, diag_r, derived, h, None,
+        g, _ = backend.solve(_mats(data), diag_r, derived, h, None,
                              jnp.asarray(config.CG_BEST_TOL, h.dtype))
         return g
 
@@ -320,7 +330,7 @@ def make_step(spec: ConeSpec, stg: Settings):
         else:
             warm = None
             tol = jnp.asarray(-1.0, v.dtype)
-        sol, cg_its = backend.solve(data.A, data.P, dr, st.derived, rhs,
+        sol, cg_its = backend.solve(_mats(data), dr, st.derived, rhs,
                                     warm, tol)
         tau = jnp.where(
             i < config.FEASIBLE_ITERS,
@@ -367,7 +377,8 @@ def make_step(spec: ConeSpec, stg: Settings):
         def apply_update(st: LoopState) -> LoopState:
             m, n = data.A.shape
             diag_r = set_diag_r(spec, n, m, new_scale, stg.rho_x, st.v.dtype)
-            derived = backend.derive(data.A, data.P, diag_r)
+            derived = backend.derive(_mats(data), diag_r, new_scale,
+                                     mixed=mixed)
             g = update_work_cache(data, diag_r, derived)
             # remap v: R+ (v+ + u - 2u_t) = rsk  =>  v+ = R+^-1 rsk + 2u_t - u
             v = st.rsk / diag_r + 2.0 * st.u_t - st.u
@@ -389,7 +400,18 @@ def make_step(spec: ConeSpec, stg: Settings):
     def _aa_reset(a):
         return accel._reset(a)
 
-    def step(data: ProblemData, st: LoopState) -> LoopState:
+    def step(data: ProblemData, st: LoopState,
+             with_check: bool = True) -> LoopState:
+        """One ADMM iteration.
+
+        with_check=False omits the residual/convergence/scale sections
+        entirely (they only act at iter %% CONVERGED_INTERVAL == 0): under
+        vmap, lax.cond executes BOTH branches, so a batched while_loop over
+        the full step would pay residual matvecs + a full refactor every
+        iteration. The runners instead alternate one checked step with
+        (CONVERGED_INTERVAL - 1) plain steps — the cadence lives in the
+        loop structure, not in a per-lane predicate.
+        """
         m, n = data.A.shape
         l = n + m + 1
         i = st.iter
@@ -442,22 +464,23 @@ def make_step(spec: ConeSpec, stg: Settings):
             st, u=u, u_t=u_t, rsk=rsk, box_t_warm=box_t,
             tot_cg_its=st.tot_cg_its + cg_its)
 
-        # 7. residuals + convergence check every CONVERGED_INTERVAL iters
-        check = (i % config.CONVERGED_INTERVAL) == 0
+        if with_check:
+            # 7. residuals + convergence check every CONVERGED_INTERVAL iters
+            check = (i % config.CONVERGED_INTERVAL) == 0
 
-        def fresh_res(_):
-            r = populate_residuals(data, spec, u, rsk, i)
-            return r, has_converged(r, data, stg)
+            def fresh_res(_):
+                r = populate_residuals(data, spec, u, rsk, i)
+                return r, has_converged(r, data, stg)
 
-        def stale_res(_):
-            return st.res, jnp.zeros((), jnp.int32)
+            def stale_res(_):
+                return st.res, jnp.zeros((), jnp.int32)
 
-        res, status = jax.lax.cond(check, fresh_res, stale_res, None)
-        st = dataclasses.replace(st, res=res, status=status)
+            res, status = jax.lax.cond(check, fresh_res, stale_res, None)
+            st = dataclasses.replace(st, res=res, status=status)
 
         # 8-10. scale update, dual update, safeguard — skipped on termination
         def proceed(st: LoopState) -> LoopState:
-            if stg.adaptive_scale:
+            if with_check and stg.adaptive_scale:
                 st = jax.lax.cond(check, lambda s: update_scale(data, s, i),
                                   lambda s: s, st)
             # dual update: v += alpha (u - u_t) (scs.c:788-793)
@@ -481,22 +504,59 @@ def make_step(spec: ConeSpec, stg: Settings):
         def halt(st: LoopState) -> LoopState:
             return st
 
-        st = jax.lax.cond(st.status == config.UNFINISHED, proceed, halt, st)
+        if with_check:
+            st = jax.lax.cond(st.status == config.UNFINISHED, proceed, halt,
+                              st)
+        else:
+            # status cannot change in a plain step; the driving loop's
+            # condition (status == UNFINISHED) already gates entry
+            st = proceed(st)
         return dataclasses.replace(st, aa_norm=aa_norm)
 
-    return step, update_work_cache
+    plain_step = functools.partial(step, with_check=False)
+    check_step = functools.partial(step, with_check=True)
+    return plain_step, check_step, update_work_cache
+
+
+def make_step(spec: ConeSpec, stg: Settings):
+    """Back-compat alias: returns (checked step, update_work_cache)."""
+    _, check_step, update_work_cache = make_steps(spec, stg)
+    return check_step, update_work_cache
+
+
+def make_loop(spec: ConeSpec, stg: Settings):
+    """Build loop(data, st, iter_cap) -> st: run until termination or cap.
+
+    Structure (not a single while_loop over the full step): one checked
+    iteration at each CONVERGED_INTERVAL boundary, then plain iterations
+    to the next boundary. Under vmap this keeps the residual matvecs and
+    the adaptive-scale refactor at the 1/CONVERGED_INTERVAL cadence —
+    a while_loop over the monolithic step would execute both branches of
+    every cond in every lane every iteration.
+    """
+    plain_step, check_step, _ = make_steps(spec, stg)
+
+    def loop(data: ProblemData, st: LoopState, iter_cap) -> LoopState:
+        def macro_cond(st: LoopState):
+            return (st.status == config.UNFINISHED) & (st.iter < iter_cap)
+
+        def macro_body(st: LoopState) -> LoopState:
+            st = check_step(data, st)
+
+            def plain_cond(s: LoopState):
+                return ((s.status == config.UNFINISHED)
+                        & (s.iter < iter_cap)
+                        & (s.iter % config.CONVERGED_INTERVAL != 0))
+
+            return jax.lax.while_loop(
+                plain_cond, lambda s: plain_step(data, s), st)
+
+        return jax.lax.while_loop(macro_cond, macro_body, st)
+
+    return loop
 
 
 def make_runner(spec: ConeSpec, stg: Settings):
     """Build the jitted chunked runner: run until status != 0, iter cap, or
     chunk boundary (host checks time limit / prints between chunks)."""
-    step, _ = make_step(spec, stg)
-
-    @jax.jit
-    def run(data: ProblemData, st: LoopState, iter_cap) -> LoopState:
-        def cond(st: LoopState):
-            return (st.status == config.UNFINISHED) & (st.iter < iter_cap)
-
-        return jax.lax.while_loop(cond, lambda s: step(data, s), st)
-
-    return run
+    return jax.jit(make_loop(spec, stg))

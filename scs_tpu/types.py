@@ -160,6 +160,9 @@ class Settings:
     # TPU-specific knobs (no reference analog):
     linsys: str = "indirect"     # "indirect" (CG) or "direct" (dense Cholesky)
     dtype: Any = jnp.float64
+    # f32 inner linear solves + f64 iterative refinement (TPUs emulate f64
+    # ~20x slower than f32). None = auto: on for f64 on non-CPU backends.
+    mixed_precision: Optional[bool] = None
     # iterations dispatched per device program before host-side checks
     # (time limit / verbose printing); residual checks stay on-device
     chunk_iters: int = 2500

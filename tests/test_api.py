@@ -171,3 +171,54 @@ def test_aa_stats_reported():
     # AA on by default: with enough iterations some steps must be attempted
     if info.iter > 150:
         assert info.accepted_accel_steps + info.rejected_accel_steps > 0
+
+
+def test_nonconvexity_detected():
+    """Setup-time inertia-check analog: indefinite P must fail clean
+    (reference: QDLDL D-count, linsys/cpu/direct/private.c:62-71)."""
+    spec = ConeSpec(l=2)
+    prob = scs_tpu.Problem(
+        A=jnp.asarray([[-1.0, 0.0], [0.0, -1.0]]),
+        b=jnp.asarray([0.0, 0.0]), c=jnp.asarray([1.0, 1.0]),
+        P=jnp.asarray([[-4.0, 0.0], [0.0, -4.0]]))
+    for linsys in ("direct", "indirect"):
+        with pytest.raises(ValidationError, match="non-convexity"):
+            scs_tpu.Workspace(prob, spec, settings=Settings(linsys=linsys))
+
+
+def test_checkpoint_resume(tmp_path):
+    """Mid-solve state checkpointing resumes to the identical solution."""
+    spec = ConeSpec(z=10, l=30, q=(8, 12))
+    p = gen_planted(spec, n=25, seed=99, density=0.3)
+    stg = Settings(chunk_iters=50)
+    f = str(tmp_path / "state.npz")
+
+    w1 = scs_tpu.Workspace(p.problem, spec, p.cone_data, stg)
+    sol1, info1 = w1.solve(checkpoint_file=f, checkpoint_every=50)
+    assert info1.status_val == config.SOLVED
+    import os
+    assert os.path.exists(f)
+
+    # resume from the (intermediate) checkpoint: must land on the exact
+    # same trajectory and final answer
+    w2 = scs_tpu.Workspace(p.problem, spec, p.cone_data, stg)
+    sol2, info2 = w2.solve(resume_from=f)
+    assert info2.status_val == config.SOLVED
+    assert info2.iter == info1.iter
+    np.testing.assert_allclose(sol1.x, sol2.x, rtol=0, atol=0)
+    np.testing.assert_allclose(sol1.y, sol2.y, rtol=0, atol=0)
+
+
+def test_checkpoint_shape_mismatch_rejected(tmp_path):
+    from scs_tpu.io import load_state, save_state
+    spec = ConeSpec(l=4)
+    p = gen_planted(spec, n=3, seed=5)
+    w = scs_tpu.Workspace(p.problem, spec, p.cone_data, Settings())
+    st = w._init_state(None)
+    f = str(tmp_path / "st.npz")
+    save_state(f, st)
+    spec2 = ConeSpec(l=6)
+    p2 = gen_planted(spec2, n=3, seed=5)
+    w2 = scs_tpu.Workspace(p2.problem, spec2, p2.cone_data, Settings())
+    with pytest.raises(ValueError, match="shape"):
+        load_state(f, w2._init_state(None))

@@ -16,11 +16,15 @@ from scs_tpu.types import ConeData, ConeSpec, Settings
 
 from helpers import verify_solution
 
-BACKENDS = ["indirect", "direct"]
+BACKENDS = ["indirect", "direct", "indirect-mixed", "direct-mixed"]
 
 
 def _settings(backend, **kw):
-    return Settings(linsys=backend, **kw)
+    """'-mixed' suffix selects the f32-inner/f64-refinement linsys path."""
+    name, _, suffix = backend.partition("-")
+    if suffix == "mixed":
+        kw.setdefault("mixed_precision", True)
+    return Settings(linsys=name, **kw)
 
 
 @pytest.mark.parametrize("backend", BACKENDS)
