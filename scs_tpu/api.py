@@ -373,12 +373,17 @@ class Workspace:
         it, status = map(int, jax.device_get((st.iter, st.status)))
         stg = self.stg
         floor = config.MIXED_FAST_FLOOR
+        # PSD blocks use f32 eigh in the fast phase, which breaks the
+        # exact-complementarity invariant (s'y = 0 up to round-off,
+        # SURVEY.md section 0) — the f64 phase restores it
+        has_psd = bool(self.spec.s or self.spec.cs)
         needs = False
         if it < stg.max_iters:
             if status == config.SOLVED:
-                needs = stg.eps_abs < floor or stg.eps_rel < floor
+                needs = (stg.eps_abs < floor or stg.eps_rel < floor
+                         or has_psd)
             elif status in (config.INFEASIBLE, config.UNBOUNDED):
-                needs = stg.eps_infeas < floor
+                needs = stg.eps_infeas < floor or has_psd
             elif status == config.UNFINISHED:
                 needs = True
         if not needs:
@@ -391,6 +396,54 @@ class Workspace:
         st = dataclasses.replace(st, derived=derived, g=g,
                                  status=jnp.zeros((), jnp.int32))
         return st, True
+
+    def profile(self, n_calls: int = 20) -> dict:
+        """Measure per-phase costs (lin-sys / cones / accel) the reference
+        reports in ScsInfo (scs.h:230-236).
+
+        The compiled solve fuses all phases into one program, so per-phase
+        attribution requires timing each phase standalone; returns
+        milliseconds per call for each phase on this problem's shapes.
+        """
+        import numpy as _np
+        from .accel import aa_apply, aa_init
+        from .cones.project import proj_dual_cone
+
+        stg = self.stg
+        dtype = stg.dtype
+        n, m, l = self.n, self.m, self.l
+        rng = _np.random.RandomState(0)
+        rhs = jnp.asarray(rng.randn(n + m), dtype)
+        vy = jnp.asarray(rng.randn(m), dtype)
+        v = jnp.asarray(rng.randn(l), dtype)
+
+        mats = self._mats()
+        lin = jax.jit(lambda r: self.backend.solve(
+            mats, self.diag_r, self.derived, r, None,
+            jnp.asarray(1e-9, dtype))[0])
+        cone = jax.jit(lambda x: proj_dual_cone(
+            x, self.spec, self.data.cone, jnp.ones((), dtype),
+            self.diag_r[n:n + m], psd_f32=self._mixed)[0])
+        mem = max(stg.acceleration_lookback, 1)
+        aa0 = aa_init(l, mem, dtype)
+        accel = jax.jit(lambda a, f, x: aa_apply(
+            a, f, x, mem=mem, type1=stg.acceleration_type_1,
+            regularization=stg.acceleration_regularization,
+            relaxation=stg.acceleration_relaxation)[1])
+
+        def clock(fn, *args):
+            _np.asarray(fn(*args))  # compile + settle
+            t0 = time.perf_counter()
+            for _ in range(n_calls):
+                out = fn(*args)
+            _np.asarray(out)
+            return (time.perf_counter() - t0) / n_calls * 1e3
+
+        return {
+            "lin_sys_time_ms": clock(lin, rhs),
+            "cone_time_ms": clock(cone, vy),
+            "accel_time_ms": clock(accel, aa0, v, v),
+        }
 
     def _print_header(self) -> None:
         """Init banner (mirrors print_init_header, scs.c:123-177)."""

@@ -104,7 +104,8 @@ class ConeLayout:
 
 
 def proj_cone(x: jnp.ndarray, spec: ConeSpec, cone_data: ConeData,
-              box_t_warm, r_y: Optional[jnp.ndarray]):
+              box_t_warm, r_y: Optional[jnp.ndarray],
+              psd_f32: bool = False):
     """Project x onto the primal cone K (in the r_y-inverse metric for box).
 
     Returns (projected x, new box warm start). All offsets static.
@@ -146,7 +147,8 @@ def proj_cone(x: jnp.ndarray, spec: ConeSpec, cone_data: ConeData,
             continue
         tri = sz * (sz + 1) // 2
         seg = x[off:off + tri * ct].reshape(ct, tri)
-        parts.append(psd.proj_psd_batch(seg, sz).reshape(-1))
+        parts.append(psd.proj_psd_batch(seg, sz,
+                                        f32_eig=psd_f32).reshape(-1))
         off += tri * ct
     off = lay.cs_off
     for (sz, ct) in _contiguous_runs(spec.cs):
@@ -154,7 +156,8 @@ def proj_cone(x: jnp.ndarray, spec: ConeSpec, cone_data: ConeData,
             continue
         full = sz * sz
         seg = x[off:off + full * ct].reshape(ct, full)
-        parts.append(psd.proj_cpsd_batch(seg, sz).reshape(-1))
+        parts.append(psd.proj_cpsd_batch(seg, sz,
+                                         f32_eig=psd_f32).reshape(-1))
         off += full * ct
     n_exp = spec.ep + spec.ed
     if n_exp:
@@ -191,7 +194,8 @@ def proj_cone(x: jnp.ndarray, spec: ConeSpec, cone_data: ConeData,
 
 
 def proj_dual_cone(x: jnp.ndarray, spec: ConeSpec, cone_data: ConeData,
-                   box_t_warm, r_y: Optional[jnp.ndarray]):
+                   box_t_warm, r_y: Optional[jnp.ndarray],
+                   psd_f32: bool = False):
     """Moreau decomposition under the diagonal R metric (cones.c:1552-1596):
 
         Pi_C^R(x) = x + R^{-1} Pi_{C*}^{R^{-1}}(-R x)
@@ -200,6 +204,7 @@ def proj_dual_cone(x: jnp.ndarray, spec: ConeSpec, cone_data: ConeData,
     """
     s = x
     xr = -x if r_y is None else -x * r_y
-    proj, new_warm = proj_cone(xr, spec, cone_data, box_t_warm, r_y)
+    proj, new_warm = proj_cone(xr, spec, cone_data, box_t_warm, r_y,
+                               psd_f32=psd_f32)
     out = proj + s if r_y is None else proj / r_y + s
     return out, new_warm

@@ -65,17 +65,28 @@ def mat_to_svec(M: jnp.ndarray, ns: int) -> jnp.ndarray:
     return M[tri_r, tri_c] * pack_scale.astype(M.dtype)
 
 
-def proj_psd_batch(v: jnp.ndarray, ns: int) -> jnp.ndarray:
-    """Project (k, tri) packed vectors onto the PSD cone of dim ns."""
+def proj_psd_batch(v: jnp.ndarray, ns: int,
+                   f32_eig: bool = False) -> jnp.ndarray:
+    """Project (k, tri) packed vectors onto the PSD cone of dim ns.
+
+    f32_eig runs the eigendecomposition + reconstruction in f32 (the TPU
+    mixed-precision path): XLA's TPU eigh is approximate-Jacobi with
+    ~1e-5-grade residuals in BOTH precisions, but f64 costs ~33x more
+    (n=500: 515 ms vs 16 ms measured) — so f64 eigh on TPU buys only
+    slowness. CPU/pure paths keep the dtype's native eigh.
+    """
     if ns == 1:
         return jnp.maximum(v, 0.0)
+    dtype = v.dtype
 
     def one(vi):
         M = svec_to_mat(vi, ns)
+        if f32_eig:
+            M = M.astype(jnp.float32)
         w, V = jnp.linalg.eigh(M)
         w = jnp.maximum(w, 0.0)
         Mp = (V * w[None, :]) @ V.T
-        return mat_to_svec(Mp, ns)
+        return mat_to_svec(Mp.astype(dtype), ns)
 
     return jax.vmap(one)(v)
 
@@ -112,7 +123,8 @@ def _cplx_indices(ns: int):
     return diag_idx, re_idx, im_idx, lo_r, lo_c
 
 
-def proj_cpsd_batch(v: jnp.ndarray, ns: int) -> jnp.ndarray:
+def proj_cpsd_batch(v: jnp.ndarray, ns: int,
+                    f32_eig: bool = False) -> jnp.ndarray:
     """Project (k, ns^2) real-packed vectors onto the complex PSD cone.
 
     Uses the real embedding of a Hermitian matrix M = Re + i Im:
@@ -137,9 +149,11 @@ def proj_cpsd_batch(v: jnp.ndarray, ns: int) -> jnp.ndarray:
         Im = Im.at[lo_r, lo_c].set(lo_im)
         Im = Im.at[lo_c, lo_r].set(-lo_im)
         E = jnp.block([[Re, -Im], [Im, Re]])
+        if f32_eig:
+            E = E.astype(jnp.float32)
         w, V = jnp.linalg.eigh(E)
         w = jnp.maximum(w, 0.0)
-        Ep = (V * w[None, :]) @ V.T
+        Ep = ((V * w[None, :]) @ V.T).astype(vi.dtype)
         Re_p = 0.5 * (Ep[:ns, :ns] + Ep[ns:, ns:])
         Im_p = 0.5 * (Ep[ns:, :ns] - Ep[:ns, ns:])
         out = jnp.zeros_like(vi)

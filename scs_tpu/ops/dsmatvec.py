@@ -68,11 +68,18 @@ def _ds_add(xh, xl, yh, yl):
     return hi, lo
 
 
+# contraction-dimension tile width: power of two (the butterfly reduction
+# needs it) small enough that two (block_m, chunk) f32 operand tiles fit
+# comfortably in VMEM
+_MAX_CHUNK = 1024
+
+
 def _kernel(ahi_ref, alo_ref, xhi_ref, xlo_ref, oh_ref, ol_ref,
-            *, n_pad: int):
+            *, chunk: int):
+    j = pl.program_id(1)
     ahi = ahi_ref[:]
     alo = alo_ref[:]
-    xhi = xhi_ref[:]            # (1, n_pad), broadcasts over rows
+    xhi = xhi_ref[:]            # (1, chunk), broadcasts over rows
     xlo = xlo_ref[:]
 
     # elementwise double-single products:
@@ -80,8 +87,8 @@ def _kernel(ahi_ref, alo_ref, xhi_ref, xlo_ref, oh_ref, ol_ref,
     ph, pe = _two_prod(ahi, xhi)
     pe = pe + (ahi * xlo + alo * xhi)
 
-    # butterfly all-reduce across the lane axis in ds arithmetic
-    shift = n_pad // 2
+    # butterfly all-reduce across the chunk's lane axis in ds arithmetic
+    shift = chunk // 2
     while shift >= 1:
         # shift must be i32 (x64 mode would promote a python int to i64,
         # which tpu.dynamic_rotate rejects)
@@ -90,8 +97,22 @@ def _kernel(ahi_ref, alo_ref, xhi_ref, xlo_ref, oh_ref, ol_ref,
         ph, pe = _ds_add(ph, pe, qh, ql)
         shift //= 2
 
-    oh_ref[:] = ph[:, 0:1]
-    ol_ref[:] = pe[:, 0:1]
+    h = ph[:, 0:1]
+    lo = pe[:, 0:1]
+
+    # ds-accumulate chunk partials into the output block (the j grid axis
+    # is innermost/sequential on TPU, and the output block index ignores
+    # j, so the block stays resident across the j sweep)
+    @pl.when(j == 0)
+    def _():
+        oh_ref[:] = h
+        ol_ref[:] = lo
+
+    @pl.when(j > 0)
+    def _():
+        nh, nl = _ds_add(oh_ref[:], ol_ref[:], h, lo)
+        oh_ref[:] = nh
+        ol_ref[:] = nl
 
 
 def _pad_to(v: int, mult: int) -> int:
@@ -107,12 +128,20 @@ def _pad_pow2(v: int, floor: int) -> int:
     return p
 
 
+def _col_pad(n: int) -> int:
+    """Column padding: a power of two up to _MAX_CHUNK, then multiples of
+    _MAX_CHUNK (each chunk is butterfly-reduced independently)."""
+    if n <= _MAX_CHUNK:
+        return _pad_pow2(n, 128)
+    return _pad_to(n, _MAX_CHUNK)
+
+
 def split_operand(A):
     """Split an f64 matrix into the padded (hi, lo) f32 pair the kernel
     reads. Pad columns to a power-of-two lane multiple (zeros are exact
     no-ops in the compensated sum) and rows to a sublane multiple."""
     m, n = A.shape
-    mp, np_ = _pad_to(max(m, 8), 8), _pad_pow2(n, 128)
+    mp, np_ = _pad_to(max(m, 8), 8), _col_pad(n)
     Ap = jnp.pad(A, ((0, mp - m), (0, np_ - n)))
     hi = Ap.astype(jnp.float32)
     lo = (Ap - hi.astype(A.dtype)).astype(jnp.float32)
@@ -121,7 +150,7 @@ def split_operand(A):
 
 @functools.partial(jax.jit,
                    static_argnames=("m", "n", "block_m", "interpret"))
-def _ds_matvec_padded(Ahi, Alo, x, m: int, n: int, block_m: int = 512,
+def _ds_matvec_padded(Ahi, Alo, x, m: int, n: int, block_m: int = 256,
                       interpret: bool = False):
     """y (m,) f64 = A @ x given padded split operands (mp, np)."""
     mp, np_ = Ahi.shape
@@ -131,30 +160,35 @@ def _ds_matvec_padded(Ahi, Alo, x, m: int, n: int, block_m: int = 512,
     xlo = jnp.zeros((1, np_), jnp.float32).at[0, :n].set(
         (x - xhi[0, :n].astype(dtype)).astype(jnp.float32))
 
+    chunk = min(np_, _MAX_CHUNK)
     bm = min(block_m, mp)
     while mp % bm:
         bm //= 2
-    grid = (mp // bm,)
+    grid = (mp // bm, np_ // chunk)
 
     # under jax_enable_x64 python ints in index maps trace as i64, which
     # Mosaic rejects — return explicit int32 block indices
-    def row_map(i):
+    def a_map(i, j):
+        return (jnp.int32(i), jnp.int32(j))
+
+    def x_map(i, j):
+        return (jnp.int32(0), jnp.int32(j))
+
+    def o_map(i, j):
         return (jnp.int32(i), jnp.int32(0))
 
-    def bcast_map(i):
-        return (jnp.int32(0), jnp.int32(0))
     oh, ol = pl.pallas_call(
-        functools.partial(_kernel, n_pad=np_),
+        functools.partial(_kernel, chunk=chunk),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((bm, np_), row_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec((bm, np_), row_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, np_), bcast_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, np_), bcast_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, chunk), a_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, chunk), a_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, chunk), x_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, chunk), x_map, memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((bm, 1), row_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec((bm, 1), row_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, 1), o_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, 1), o_map, memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((mp, 1), jnp.float32),

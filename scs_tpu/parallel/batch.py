@@ -208,11 +208,15 @@ def make_repair_fn(spec: ConeSpec, stg: Settings):
         g, _ = backend.solve(mats, st.diag_r, derived, h, None,
                              jnp.asarray(config.CG_BEST_TOL, h.dtype))
         floor = config.MIXED_FAST_FLOOR
+        # PSD f32 eigh in the fast phase breaks exact complementarity;
+        # terminated PSD problems always take at least one f64 leg
+        has_psd = bool(spec.s or spec.cs)
         solved_tight = ((st.status == config.SOLVED)
-                        & ((data.eps_abs < floor) | (data.eps_rel < floor)))
+                        & ((data.eps_abs < floor) | (data.eps_rel < floor)
+                           | has_psd))
         cert_tight = (((st.status == config.INFEASIBLE)
                        | (st.status == config.UNBOUNDED))
-                      & (data.eps_infeas < floor))
+                      & ((data.eps_infeas < floor) | has_psd))
         needs = solved_tight | cert_tight
         status = jnp.where(needs, jnp.zeros((), jnp.int32), st.status)
         return dataclasses.replace(st, derived=derived, g=g, status=status)
@@ -312,10 +316,12 @@ def make_chunked_batch_solver(spec: ConeSpec, stg: Settings,
         # lazy polish phase: compile the f64 program only if some lane's
         # true targets lie below the fast floor AND its status needs it
         status = np.asarray(st.status)
+        has_psd = bool(spec.s or spec.cs)
         solved_tight = ((status == config.SOLVED)
-                        & ((stg.eps_abs < floor) | (stg.eps_rel < floor)))
+                        & ((stg.eps_abs < floor) | (stg.eps_rel < floor)
+                           | has_psd))
         cert_tight = (np.isin(status, (config.INFEASIBLE, config.UNBOUNDED))
-                      & (stg.eps_infeas < floor))
+                      & ((stg.eps_infeas < floor) | has_psd))
         if (solved_tight | cert_tight).any():
             stg2 = dataclasses.replace(stg, mixed_precision=False)
             _, chunk2_fn, _ = make_solver_parts(spec, stg2)

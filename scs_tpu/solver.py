@@ -345,7 +345,7 @@ def make_steps(spec: ConeSpec, stg: Settings):
         u_pre = 2.0 * u_t - st.v
         y_proj, box_t = proj_dual_cone(
             u_pre[n:n + m], spec, data.cone, st.box_t_warm,
-            st.diag_r[n:n + m])
+            st.diag_r[n:n + m], psd_f32=mixed)
         tau = jnp.where(i < config.FEASIBLE_ITERS,
                         jnp.asarray(1.0, u_pre.dtype),
                         jnp.maximum(u_pre[l - 1], 0.0))

@@ -195,6 +195,12 @@ class Info:
     res_unbdd_p: float = float("nan")
     setup_time: float = 0.0   # milliseconds
     solve_time: float = 0.0   # milliseconds
+    # per-phase totals (scs.h:230-236); populated by Workspace.profile()
+    # on request — phases fuse inside one compiled program, so per-phase
+    # attribution needs a separate instrumented run
+    lin_sys_time: float = float("nan")
+    cone_time: float = float("nan")
+    accel_time: float = float("nan")
     scale: float = 0.0
     comp_slack: float = float("nan")
     rejected_accel_steps: int = 0

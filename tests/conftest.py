@@ -16,3 +16,22 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+
+import gc
+
+import pytest
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _release_compiled_programs():
+    """Free compiled executables between test modules.
+
+    XLA's CPU compiler segfaults after a few hundred compilations in one
+    process on this box (crash point moves with test order; always inside
+    backend_compile). Releasing executables + tracing caches between
+    modules keeps the compiler's cumulative state bounded.
+    """
+    yield
+    jax.clear_caches()
+    gc.collect()

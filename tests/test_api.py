@@ -222,3 +222,12 @@ def test_checkpoint_shape_mismatch_rejected(tmp_path):
     w2 = scs_tpu.Workspace(p2.problem, spec2, p2.cone_data, Settings())
     with pytest.raises(ValueError, match="shape"):
         load_state(f, w2._init_state(None))
+
+
+def test_profile_phases():
+    spec = ConeSpec(z=4, l=10, q=(6,))
+    p = gen_planted(spec, n=10, seed=17)
+    w = scs_tpu.Workspace(p.problem, spec, p.cone_data, Settings())
+    prof = w.profile(n_calls=3)
+    assert set(prof) == {"lin_sys_time_ms", "cone_time_ms", "accel_time_ms"}
+    assert all(v > 0 for v in prof.values())

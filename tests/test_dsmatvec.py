@@ -43,7 +43,8 @@ def test_split_operand_roundtrip():
     np.testing.assert_array_equal(back[:, 101:], 0.0)
 
 
-@pytest.mark.parametrize("shape", [(400, 100), (100, 400), (7, 3), (130, 257)])
+@pytest.mark.parametrize("shape", [(400, 100), (100, 400), (7, 3),
+                                   (130, 257), (16, 3000)])
 def test_ds_matvec_interpret_accuracy(shape):
     m, n = shape
     rng = np.random.RandomState(m + n)

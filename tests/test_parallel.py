@@ -89,3 +89,37 @@ def test_sharded_rows_and_batch():
     assert np.all(np.asarray(res.status) == config.SOLVED)
     np.testing.assert_allclose(np.asarray(res.pobj), opts,
                                atol=1e-3, rtol=1e-3)
+
+
+def test_single_problem_row_sharded_cg():
+    """One problem block-partitioned across ALL devices (no batch axis):
+    rows of A / entries of b live on the 'model' axis, and the indirect
+    backend's CG dot products / A'z contractions cross shards via the
+    collectives XLA inserts (BASELINE config 5's single-chip analog)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from scs_tpu.parallel import make_pure_solver
+
+    spec = ConeSpec(z=16, l=40, q=(8, 16))     # m = 80 rows -> 10 per device
+    p = gen_planted(spec, n=30, seed=7, density=0.4)
+    stg = Settings(linsys="indirect")
+    solve_fn = jax.jit(lambda A, b, c, bu, bl: make_pure_solver(spec, stg)(
+        A, None, b, c, bu, bl))
+    bu = jnp.zeros((0,)); bl = jnp.zeros((0,))
+
+    # unsharded reference
+    ref = solve_fn(p.problem.A, p.problem.b, p.problem.c, bu, bl)
+    assert int(ref.status) == config.SOLVED
+
+    mesh = Mesh(np.asarray(jax.devices()[:8]), ("model",))
+    A_s = jax.device_put(p.problem.A, NamedSharding(mesh, P("model", None)))
+    b_s = jax.device_put(p.problem.b, NamedSharding(mesh, P("model")))
+    c_s = jax.device_put(p.problem.c, NamedSharding(mesh, P()))
+    res = solve_fn(A_s, b_s, c_s, bu, bl)
+    assert int(res.status) == config.SOLVED
+    # sharded reductions reorder floating point -> slightly different (but
+    # equally valid) trajectories; both must sit at the planted optimum
+    np.testing.assert_allclose(float(res.pobj), float(ref.pobj),
+                               atol=1e-3, rtol=1e-4)
+    np.testing.assert_allclose(float(res.pobj), p.opt, atol=1e-3, rtol=1e-3)
