@@ -81,7 +81,7 @@ def main():
     # m = 4n rows, 10% zero cone, 30% LP cone, rest SOC
     n = 100
     spec = ConeSpec(z=40, l=120, q=(20, 34, 14, 51, 22, 31, 1, 67))
-    B = 64
+    B = 256
     # defaults: eps 1e-4, AA 10, adaptive scale, mixed precision (auto on
     # TPU); direct (inverse-apply) backend; bounded device programs
     stg = Settings(linsys="direct", chunk_iters=500)
@@ -107,11 +107,13 @@ def main():
     force(solver(A, b, c, bu, bl))
     log(f"warmup (incl. compile): {time.perf_counter() - t0:.1f}s")
 
-    log("timed run...")
-    t0 = time.perf_counter()
-    res = solver(A, b, c, bu, bl)
-    iters = force(res)
-    wall = time.perf_counter() - t0
+    log("timed runs (best of 3; the remote-TPU tunnel adds jitter)...")
+    wall = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        res = solver(A, b, c, bu, bl)
+        iters = force(res)
+        wall = min(wall, time.perf_counter() - t0)
 
     status = np.asarray(res.status)
     solved = int((status == 1).sum())

@@ -131,8 +131,13 @@ def aa_apply(a: AAState, f, x, *, mem: int, type1: bool,
         length = jnp.minimum(a.it, mem)
         mask = (jnp.arange(mem) < length).astype(dtype)
 
-        A_mat = (S if type1 else Y) * mask[:, None]
-        B_mat = Y * mask[:, None]
+        # gamma quality path in f32: the (mem x mem) Gram/solve only picks
+        # the acceleration direction (safeguard + weight cap give
+        # correctness), and f64 matmuls are software-emulated on TPU at
+        # 10-35x the f32 cost
+        f32 = jnp.float32
+        A_mat = ((S if type1 else Y) * mask[:, None]).astype(f32)
+        B_mat = (Y * mask[:, None]).astype(f32)
         # regularization modes (aa.c:437-451)
         if regularization > 0:
             nrm_yf = _frob_from_cols(nrm_y)
@@ -143,17 +148,20 @@ def aa_apply(a: AAState, f, x, *, mem: int, type1: bool,
         else:
             r = zero
         G = A_mat @ B_mat.T
-        G = G + (r + (1.0 - mask)) * jnp.eye(mem, dtype=dtype)
-        rhs = A_mat @ g
-        gamma = _small_solve(G, rhs, mem) * mask
+        G = G + ((r + (1.0 - mask)) * jnp.eye(mem, dtype=dtype)).astype(f32)
+        rhs = A_mat @ g.astype(f32)
+        gamma = (_small_solve(G, rhs, mem).astype(dtype)) * mask
         aa_norm = jnp.linalg.norm(gamma)
 
         do_solve = a.it >= mem  # min_len = mem: wait until window is full
         ok = jnp.isfinite(aa_norm) & (aa_norm < max_weight_norm)
 
-        f_aa = f - gamma @ D
+        # the APPLICATION stays f64 but as broadcast-multiply + reduce over
+        # the tiny mem axis (elementwise f64 is cheap; f64 dot lowers to
+        # the slow emulated-matmul path)
+        f_aa = f - jnp.sum(gamma[:, None] * D, axis=0)
         if relaxation != 1.0:
-            x_relax = x - gamma @ (S * mask[:, None])
+            x_relax = x - jnp.sum((gamma * mask)[:, None] * S, axis=0)
             f_aa = relaxation * f_aa + (1.0 - relaxation) * x_relax
 
         accept = do_solve & ok

@@ -200,10 +200,128 @@ def _ds_matvec_padded(Ahi, Alo, x, m: int, n: int, block_m: int = 256,
     return y
 
 
+def _batched_kernel(ahi_ref, alo_ref, xhi_ref, xlo_ref, oh_ref, ol_ref,
+                    *, chunk: int):
+    """Rank-3 variant of _kernel: leading axis = batch-block (problems
+    share grid steps so vmapped solves don't pay per-problem grid
+    overhead)."""
+    j = pl.program_id(2)
+    ahi = ahi_ref[:]
+    alo = alo_ref[:]
+    xhi = xhi_ref[:]            # (bb, 1, chunk)
+    xlo = xlo_ref[:]
+
+    ph, pe = _two_prod(ahi, xhi)
+    pe = pe + (ahi * xlo + alo * xhi)
+
+    shift = chunk // 2
+    while shift >= 1:
+        qh = pltpu.roll(ph, np.int32(shift), axis=2)
+        ql = pltpu.roll(pe, np.int32(shift), axis=2)
+        ph, pe = _ds_add(ph, pe, qh, ql)
+        shift //= 2
+
+    h = ph[:, :, 0:1]
+    lo = pe[:, :, 0:1]
+
+    @pl.when(j == 0)
+    def _():
+        oh_ref[:] = h
+        ol_ref[:] = lo
+
+    @pl.when(j > 0)
+    def _():
+        nh, nl = _ds_add(oh_ref[:], ol_ref[:], h, lo)
+        oh_ref[:] = nh
+        ol_ref[:] = nl
+
+
+@functools.partial(jax.jit, static_argnames=("m", "n", "interpret"))
+def _ds_matvec_batched(Ahi, Alo, x, m: int, n: int,
+                       interpret: bool = False):
+    """y (B, m) f64 = A[b] @ x[b] for padded split operands (B, mp, np)."""
+    B, mp, np_ = Ahi.shape
+    dtype = x.dtype
+    xhi32 = x.astype(jnp.float32)
+    xlo32 = (x - xhi32.astype(dtype)).astype(jnp.float32)
+    xhi = jnp.zeros((B, 1, np_), jnp.float32).at[:, 0, :n].set(xhi32)
+    xlo = jnp.zeros((B, 1, np_), jnp.float32).at[:, 0, :n].set(xlo32)
+
+    chunk = min(np_, _MAX_CHUNK)
+    # VMEM budget: the butterfly keeps ~6 (bb, bm, chunk) f32 temporaries
+    # live plus double-buffered operand tiles — cap rows so a block's
+    # working set stays well under the 16 MB VMEM limit
+    max_rows = max(8, (128 * 1024) // chunk)
+    bm = min(mp, max_rows // 8 * 8)
+    while mp % bm:
+        bm -= 8
+    bb = min(B, max(1, max_rows // bm))
+    while B % bb:
+        bb -= 1
+    grid = (B // bb, mp // bm, np_ // chunk)
+
+    def a_map(ib, i, j):
+        return (jnp.int32(ib), jnp.int32(i), jnp.int32(j))
+
+    def x_map(ib, i, j):
+        return (jnp.int32(ib), jnp.int32(0), jnp.int32(j))
+
+    def o_map(ib, i, j):
+        return (jnp.int32(ib), jnp.int32(i), jnp.int32(0))
+
+    oh, ol = pl.pallas_call(
+        functools.partial(_batched_kernel, chunk=chunk),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bb, bm, chunk), a_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, bm, chunk), a_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, 1, chunk), x_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, 1, chunk), x_map, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((bb, bm, 1), o_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, bm, 1), o_map, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, mp, 1), jnp.float32),
+            jax.ShapeDtypeStruct((B, mp, 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(Ahi, Alo, xhi, xlo)
+    return (oh[:, :m, 0].astype(dtype) + ol[:, :m, 0].astype(dtype))
+
+
+@functools.lru_cache(maxsize=None)
+def _make_ds_matvec(m: int, n: int):
+    """custom_vmap wrapper: the unbatched rule runs the 2D kernel; under
+    vmap the batched rule runs the rank-3 kernel so problems share grid
+    steps instead of each adding a grid dimension."""
+    from jax.custom_batching import custom_vmap
+
+    @custom_vmap
+    def mv(Ahi, Alo, x):
+        return _ds_matvec_padded(Ahi, Alo, x, m=m, n=n)
+
+    @mv.def_vmap
+    def _rule(axis_size, in_batched, Ahi, Alo, x):
+        ab, lb, xb = in_batched
+        if not ab:
+            Ahi = jnp.broadcast_to(Ahi, (axis_size,) + Ahi.shape)
+            Alo = jnp.broadcast_to(Alo, (axis_size,) + Alo.shape)
+        if not xb:
+            x = jnp.broadcast_to(x, (axis_size,) + x.shape)
+        return _ds_matvec_batched(Ahi, Alo, x, m=m, n=n), True
+
+    return mv
+
+
 def ds_matvec(split, x, m: int, n: int):
-    """y = A @ x (f64-accurate) from split = (Ahi, Alo) padded pair."""
+    """y = A @ x (f64-accurate) from split = (Ahi, Alo) padded pair.
+
+    vmap-aware: batched applications share Pallas grid steps.
+    """
     Ahi, Alo = split
-    return _ds_matvec_padded(Ahi, Alo, x, m=m, n=n)
+    return _make_ds_matvec(m, n)(Ahi, Alo, x)
 
 
 def supported() -> bool:
