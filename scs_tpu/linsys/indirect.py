@@ -26,10 +26,22 @@ Backend protocol: see linsys/__init__.py.
 
 from __future__ import annotations
 
+from typing import Any, NamedTuple, Optional
+
 import jax
 import jax.numpy as jnp
 
+from ..ops import dsmatvec
+
 METHOD_NAME = "dense-indirect-jacobi-pcg"
+
+
+class IndirectCache(NamedTuple):
+    """Loop-invariant operand cache (ProblemData.lin_cache)."""
+
+    diagK: Any                   # scale-free preconditioner diagonal, f64
+    ds_fwd: Optional[Any]        # (hi, lo) split of A (pallas ds matvec)
+    ds_bwd: Optional[Any]        # (hi, lo) split of A'
 
 # Refinement passes cap: each pass gains ~5 decades of accuracy (f32 CG
 # stall floor), so 6 covers the full f64 range with margin.
@@ -40,20 +52,24 @@ REFINE_PASS_RTOL = 3e-6
 
 
 def precompute(A, P, n_zero: int):
-    """Scale-free preconditioner cache diag(K) = diag(A'A + 999 A_z'A_z)."""
+    """Scale-free preconditioner cache diag(K) = diag(A'A + 999 A_z'A_z),
+    plus double-single operand splits for the f64-accurate matvecs."""
     del P
     d = jnp.sum(A * A, axis=0)
     if n_zero:
         Az = A[:n_zero]
         d = d + 999.0 * jnp.sum(Az * Az, axis=0)
-    return d
+    if dsmatvec.supported():
+        return IndirectCache(d, dsmatvec.split_operand(A),
+                             dsmatvec.split_operand(A.T))
+    return IndirectCache(d, None, None)
 
 
 def derive(mats, diag_r, scale, mixed: bool = False):
     """Inverse Jacobi preconditioner M = 1/diag(R_x + P + scale K)
     (set_preconditioner analog, private.c:50-82)."""
     n = mats.A.shape[1]
-    d = diag_r[:n] + scale * mats.cache
+    d = diag_r[:n] + scale * mats.cache.diagK
     if mats.P is not None:
         d = d + jnp.diagonal(mats.P)
     M = 1.0 / d
@@ -70,6 +86,31 @@ def _mat_vec(A, P, diag_r, x):
     y = A.T @ z + diag_r[:n] * x
     if P is not None:
         y = y + P @ x
+    return y
+
+
+def _A_matvec(mats, x):
+    if mats.cache.ds_fwd is not None:
+        m, n = mats.A.shape
+        return dsmatvec.ds_matvec(mats.cache.ds_fwd, x, m, n)
+    return mats.A @ x
+
+
+def _At_matvec(mats, z):
+    if mats.cache.ds_bwd is not None:
+        m, n = mats.A.shape
+        return dsmatvec.ds_matvec(mats.cache.ds_bwd, z, n, m)
+    return mats.A.T @ z
+
+
+def _schur_matvec(mats, diag_r, x):
+    """f64-accurate (R_x + P + A' R_y^{-1} A) x via the ds kernel."""
+    m, n = mats.A.shape
+    r_y = diag_r[n:n + m]
+    z = _A_matvec(mats, x) / r_y
+    y = _At_matvec(mats, z) + diag_r[:n] * x
+    if mats.P is not None:
+        y = y + mats.P @ x
     return y
 
 
@@ -113,13 +154,12 @@ def _pcg(A, P, diag_r, M, s, b, max_its, tol):
 def _solve_schur_mixed(mats, diag_r, derived, b, warm_start, tol, max_its):
     """f32 CG inner loop + f64 iterative refinement outer loop."""
     M32, dr32 = derived
-    A, P = mats.A, mats.P
     A32, P32 = mats.A32, mats.P32
     f32 = jnp.float32
     dtype = b.dtype
 
     x0 = jnp.zeros_like(b) if warm_start is None else warm_start
-    r0 = b - _mat_vec(A, P, diag_r, x0) if warm_start is not None else b
+    r0 = b - _schur_matvec(mats, diag_r, x0) if warm_start is not None else b
 
     def cond(carry):
         _, r, k, _ = carry
@@ -131,7 +171,7 @@ def _solve_schur_mixed(mats, diag_r, derived, b, warm_start, tol, max_its):
         d32, its = _pcg(A32, P32, dr32, M32, None, r.astype(f32),
                         max_its, pass_tol.astype(f32))
         x = x + d32.astype(dtype)
-        r = b - _mat_vec(A, P, diag_r, x)
+        r = b - _schur_matvec(mats, diag_r, x)
         return (x, r, k + 1, tot + its)
 
     x, _, _, iters = jax.lax.while_loop(
@@ -156,17 +196,20 @@ def solve(mats, diag_r, derived, rhs, warm_start, tol):
     def solve_branch(_):
         rx = rhs[:n]
         ry = rhs[n:]
-        # RHS build / y-recovery stay f64: the DR trajectory needs the KKT
-        # solve consistent to ~1e-6 absolute (see direct.solve's precision
-        # budget note); the f32 speed lives inside the CG inner loop.
-        b = rx + A.T @ (ry / r_y)
+        # RHS build / y-recovery need f64-grade accuracy (the DR
+        # trajectory needs the KKT solve consistent to ~1e-6 absolute;
+        # see direct.solve's precision budget note) — the ds kernel
+        # provides it at f32 speed in mixed mode.
         if mixed:
+            b = rx + _At_matvec(mats, ry / r_y)
             x, iters = _solve_schur_mixed(mats, diag_r, derived, b,
                                           warm_start, tol, 10 * n)
+            y = (_A_matvec(mats, x) - ry) / r_y
         else:
+            b = rx + A.T @ (ry / r_y)
             x, iters = _pcg(A, P, diag_r, derived, warm_start, b, 10 * n,
                             tol)
-        y = ((A @ x) - ry) / r_y
+            y = ((A @ x) - ry) / r_y
         return jnp.concatenate([x, y]), iters
 
     is_zero = jnp.max(jnp.abs(rhs)) <= 1e-12

@@ -27,8 +27,11 @@ def _solve_fixture(name, **stg_overrides):
 
 @pytest.mark.skipif(not os.path.exists(FIXTURES), reason="no reference tree")
 def test_fixture_random_prob():
-    """random_prob: mixed cone problem, opt 5.751458 (random_prob.h:6)."""
-    sol, info, _ = _solve_fixture("random_prob")
+    """random_prob: mixed cone problem, opt 5.751458 (random_prob.h:6).
+
+    Solved at eps 1e-5: the file's default 1e-4 legitimately allows
+    objective errors right at the 1e-3 comparison bound."""
+    sol, info, _ = _solve_fixture("random_prob", eps_abs=1e-5, eps_rel=1e-5)
     assert info.status_val == config.SOLVED, info.status
     assert abs(info.pobj - 5.751458006385587) < 1e-3
 
