@@ -84,7 +84,7 @@ def main():
     B = 256
     # defaults: eps 1e-4, AA 10, adaptive scale, mixed precision (auto on
     # TPU); direct (inverse-apply) backend; bounded device programs
-    stg = Settings(linsys="direct", chunk_iters=500)
+    stg = Settings(linsys="direct", chunk_iters=250)
 
     log(f"generating {B} planted SOCPs (n={n}, m={spec.dims()})...")
     probs = [gen_planted(spec, n=n, seed=1000 + i, density=0.1)

@@ -294,14 +294,39 @@ def make_chunked_batch_solver(spec: ConeSpec, stg: Settings,
     import numpy as np
 
     def run_phase(chunk_kernel, data, st, cap_total):
+        """Chunked dispatch with straggler compaction.
+
+        vmapped while_loops run every lane until the slowest terminates,
+        so a few long solves would keep the whole batch stepping. Once
+        the running set shrinks, gather it into a power-of-two bucket
+        (floored at B/8 to bound recompiles to <= 4 bucket shapes) and
+        continue on the smaller batch, scattering results back.
+        """
         chunk = max(stg.chunk_iters, 25)
+        B = int(np.asarray(st.status).shape[0])
+        min_bucket = max(B // 8, 1)
         while True:
             running = np.asarray((st.status == config.UNFINISHED)
                                  & (st.iter < cap_total))
-            if not running.any():
+            act = np.nonzero(running)[0]
+            if act.size == 0:
                 return st
-            done_at = min(int(np.asarray(st.iter).max()) + chunk, cap_total)
-            st = chunk_kernel(data, st, jnp.asarray(done_at, jnp.int32))
+            bucket = max(1 << (int(act.size) - 1).bit_length(), min_bucket)
+            done_at = jnp.asarray(
+                min(int(np.asarray(st.iter)[act].max()) + chunk, cap_total),
+                jnp.int32)
+            if bucket >= B:
+                st = chunk_kernel(data, st, done_at)
+                continue
+            pad = np.concatenate(
+                [act, np.repeat(act[:1], bucket - act.size)])
+            take = jnp.asarray(pad)
+            data_c = jax.tree.map(lambda a: a[take], data)
+            st_c = jax.tree.map(lambda a: a[take], st)
+            st_c = chunk_kernel(data_c, st_c, done_at)
+            put = jnp.asarray(act)
+            st = jax.tree.map(
+                lambda full, sub: full.at[put].set(sub[:act.size]), st, st_c)
 
     def solve(*arrays, max_iters: Optional[int] = None) -> SolveResult:
         cap_total = stg.max_iters if max_iters is None else max_iters

@@ -123,3 +123,23 @@ def test_single_problem_row_sharded_cg():
     np.testing.assert_allclose(float(res.pobj), float(ref.pobj),
                                atol=1e-3, rtol=1e-4)
     np.testing.assert_allclose(float(res.pobj), p.opt, atol=1e-3, rtol=1e-3)
+
+
+def test_chunked_compaction_correctness():
+    """Chunked dispatch with straggler compaction: mix of easy and hard
+    problems must produce the same solutions as the plain batch solver."""
+    from scs_tpu.parallel import make_chunked_batch_solver
+    spec = ConeSpec(l=30, q=(10,))
+    A, P, b, c, bu, bl, opts = _stack_problems(spec, n=14, count=16)
+    stg = Settings(chunk_iters=25)  # small chunks force many compaction rounds
+    chunked = make_chunked_batch_solver(spec, stg, has_P=False)
+    res = chunked(A, b, c, bu, bl)
+    status = np.asarray(res.status)
+    assert np.all(status == config.SOLVED), status
+    np.testing.assert_allclose(np.asarray(res.pobj), opts,
+                               atol=1e-3, rtol=1e-3)
+    # plain (single-dispatch) reference
+    plain = make_batch_solver(spec, stg, has_P=False)
+    ref = plain(A, b, c, bu, bl)
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(ref.x),
+                               atol=0, rtol=0)
