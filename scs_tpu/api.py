@@ -376,7 +376,8 @@ class Workspace:
         # PSD blocks use f32 eigh in the fast phase, which breaks the
         # exact-complementarity invariant (s'y = 0 up to round-off,
         # SURVEY.md section 0) — the f64 phase restores it
-        has_psd = bool(self.spec.s or self.spec.cs)
+        has_psd = bool(self.spec.s or self.spec.cs or self.spec.d
+                       or self.spec.nuc_m or self.spec.sl_n)
         needs = False
         if it < stg.max_iters:
             if status == config.SOLVED:

@@ -172,12 +172,14 @@ def proj_cone(x: jnp.ndarray, spec: ConeSpec, cone_data: ConeData,
     off = lay.d_off
     for di in spec.d:
         ln = di * (di + 1) // 2 + 2
-        parts.append(spectral.proj_logdet(x[off:off + ln], di))
+        parts.append(spectral.proj_logdet(x[off:off + ln], di,
+                                          f32_eig=psd_f32))
         off += ln
     off = lay.nuc_off
     for mi, ni in zip(spec.nuc_m, spec.nuc_n):
         ln = mi * ni + 1
-        parts.append(spectral.proj_nuclear(x[off:off + ln], mi, ni))
+        parts.append(spectral.proj_nuclear(x[off:off + ln], mi, ni,
+                                           f32_eig=psd_f32))
         off += ln
     off = lay.ell1_off
     for ei in spec.ell1:
@@ -187,7 +189,8 @@ def proj_cone(x: jnp.ndarray, spec: ConeSpec, cone_data: ConeData,
     off = lay.sl_off
     for si, ki in zip(spec.sl_n, spec.sl_k):
         ln = si * (si + 1) // 2 + 1
-        parts.append(spectral.proj_sum_largest_evals(x[off:off + ln], si, ki))
+        parts.append(spectral.proj_sum_largest_evals(
+            x[off:off + ln], si, ki, f32_eig=psd_f32))
         off += ln
 
     return jnp.concatenate(parts) if parts else x, new_warm

@@ -139,7 +139,7 @@ def proj_sum_largest_sorted(t0, x, k: int):
     return t, x_proj
 
 
-def proj_sum_largest_evals(tX, ns: int, k: int):
+def proj_sum_largest_evals(tX, ns: int, k: int, f32_eig: bool = False):
     """Project [t; svec(X)] onto {(t, X): sum of k largest eigenvalues <= t}.
 
     Port of SCS(proj_sum_largest_evals) (sum_largest_eval_cone.c:56-147):
@@ -148,7 +148,10 @@ def proj_sum_largest_evals(tX, ns: int, k: int):
     """
     t0 = tX[0]
     M = svec_to_mat(tX[1:], ns) * _SQRT2
+    if f32_eig:
+        M = M.astype(jnp.float32)
     w, V = jnp.linalg.eigh(M)               # ascending
+    w, V = w.astype(tX.dtype), V.astype(tX.dtype)
     w_desc = w[::-1]
     t_p, w_p_desc = proj_sum_largest_sorted(t0 * _SQRT2, w_desc, k)
     w_p = w_p_desc[::-1]
@@ -158,13 +161,16 @@ def proj_sum_largest_evals(tX, ns: int, k: int):
 
 # --------------------------- nuclear cone -----------------------------------
 
-def proj_nuclear(tX, m: int, n: int):
+def proj_nuclear(tX, m: int, n: int, f32_eig: bool = False):
     """Project [t; vec(X)] (X m x n column-major, m >= n) onto
     {(t, X): ||X||_* <= t}. Port of SCS(proj_nuclear_cone)
     (nuclear_cone.c:47-110): thin SVD + sorted ell1 projection."""
     t0 = tX[0]
     X = tX[1:].reshape(n, m).T              # column-major unpack
+    if f32_eig:
+        X = X.astype(jnp.float32)
     U, s, Vt = jnp.linalg.svd(X, full_matrices=False)
+    U, s, Vt = (U.astype(tX.dtype), s.astype(tX.dtype), Vt.astype(tX.dtype))
     t_p, s_p = ell1_proj_sorted(t0, s)      # svd gives descending, >= 0
     Xp = (U * s_p[None, :]) @ Vt
     return jnp.concatenate([t_p[None], Xp.T.reshape(-1)])
@@ -310,7 +316,7 @@ def log_cone_newton(t0, v0, x0):
     return t_out, v_out, x_out
 
 
-def proj_logdet(tvX, ns: int):
+def proj_logdet(tvX, ns: int, f32_eig: bool = False):
     """Project [t; v; svec(X)] onto the log-determinant cone
     cl{(t, v, X): X psd, v >= 0, -v log det(X/v) <= t}.
 
@@ -321,7 +327,10 @@ def proj_logdet(tvX, ns: int):
     t0 = tvX[0]
     v0 = tvX[1]
     M = svec_to_mat(tvX[2:], ns) * _SQRT2
+    if f32_eig:
+        M = M.astype(jnp.float32)
     w, V = jnp.linalg.eigh(M)
+    w, V = w.astype(tvX.dtype), V.astype(tvX.dtype)
     t_p, v_p, w_p = log_cone_newton(t0 * _SQRT2, v0 * _SQRT2, w)
     w_p = jnp.maximum(w_p, 0.0)
     Mp = (V * w_p[None, :]) @ V.T / _SQRT2

@@ -210,7 +210,8 @@ def make_repair_fn(spec: ConeSpec, stg: Settings):
         floor = config.MIXED_FAST_FLOOR
         # PSD f32 eigh in the fast phase breaks exact complementarity;
         # terminated PSD problems always take at least one f64 leg
-        has_psd = bool(spec.s or spec.cs)
+        has_psd = bool(spec.s or spec.cs or spec.d or spec.nuc_m
+                       or spec.sl_n)
         solved_tight = ((st.status == config.SOLVED)
                         & ((data.eps_abs < floor) | (data.eps_rel < floor)
                            | has_psd))
@@ -341,7 +342,8 @@ def make_chunked_batch_solver(spec: ConeSpec, stg: Settings,
         # lazy polish phase: compile the f64 program only if some lane's
         # true targets lie below the fast floor AND its status needs it
         status = np.asarray(st.status)
-        has_psd = bool(spec.s or spec.cs)
+        has_psd = bool(spec.s or spec.cs or spec.d or spec.nuc_m
+                       or spec.sl_n)
         solved_tight = ((status == config.SOLVED)
                         & ((stg.eps_abs < floor) | (stg.eps_rel < floor)
                            | has_psd))
