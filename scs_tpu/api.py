@@ -24,7 +24,7 @@ from .equilibrate import (equilibrate, identity_scaling, normalize_b_c,
                           normalize_xys, unnormalize_xys)
 from .linsys import (Mats, get_backend, prepare_operands,
                      resolve_mixed)
-from .solver import (LoopState, ProblemData, Residuals, has_converged,
+from .solver import (LoopState, ProblemData, Residuals,
                      make_runner, populate_residuals, set_diag_r)
 from .types import ConeData, ConeSpec, Info, Problem, Settings, Solution
 from .validation import ValidationError, validate

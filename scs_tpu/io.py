@@ -11,7 +11,6 @@ Two formats:
 
 from __future__ import annotations
 
-import dataclasses
 import struct
 from typing import Optional
 

@@ -11,7 +11,7 @@ import math
 
 import numpy as np
 
-from .types import ConeData, ConeSpec, Problem, Settings
+from .types import ConeSpec, Problem, Settings
 
 
 class ValidationError(ValueError):
