@@ -418,13 +418,13 @@ class Workspace:
         vy = jnp.asarray(rng.randn(m), dtype)
         v = jnp.asarray(rng.randn(l), dtype)
 
-        mats = self._mats()
-        lin = jax.jit(lambda r: self.backend.solve(
-            mats, self.diag_r, self.derived, r, None,
-            jnp.asarray(1e-9, dtype))[0])
-        cone = jax.jit(lambda x: proj_dual_cone(
-            x, self.spec, self.data.cone, jnp.ones((), dtype),
-            self.diag_r[n:n + m], psd_f32=self._mixed)[0])
+        # operands enter as jit ARGUMENTS (closure constants would be
+        # inlined into the HLO, ballooning remote-compile payloads)
+        lin = jax.jit(lambda mats, dr, der, r: self.backend.solve(
+            mats, dr, der, r, None, jnp.asarray(1e-9, dtype))[0])
+        cone = jax.jit(lambda cone_data, ry, x: proj_dual_cone(
+            x, self.spec, cone_data, jnp.ones((), dtype), ry,
+            psd_f32=self._mixed)[0])
         mem = max(stg.acceleration_lookback, 1)
         aa0 = aa_init(l, mem, dtype)
         accel = jax.jit(lambda a, f, x: aa_apply(
@@ -441,8 +441,10 @@ class Workspace:
             return (time.perf_counter() - t0) / n_calls * 1e3
 
         return {
-            "lin_sys_time_ms": clock(lin, rhs),
-            "cone_time_ms": clock(cone, vy),
+            "lin_sys_time_ms": clock(lin, self._mats(), self.diag_r,
+                                     self.derived, rhs),
+            "cone_time_ms": clock(cone, self.data.cone,
+                                  self.diag_r[n:n + m], vy),
             "accel_time_ms": clock(accel, aa0, v, v),
         }
 
