@@ -65,7 +65,22 @@ def scs_baseline_iters_per_sec() -> float:
 
 
 def main():
+    # the remote TPU worker occasionally crashes/restarts mid-run; one
+    # retry re-runs the workload against the restarted worker so the
+    # round still records a measurement
     baseline = scs_baseline_iters_per_sec()
+    last_err = None
+    for attempt in range(2):
+        try:
+            return run_bench(baseline)
+        except Exception as e:  # noqa: BLE001
+            last_err = e
+            log(f"bench attempt {attempt + 1} failed: {e!r}; retrying...")
+            time.sleep(20)
+    raise SystemExit(f"bench failed twice: {last_err!r}")
+
+
+def run_bench(baseline):
 
     import jax
     import jax.numpy as jnp
@@ -107,9 +122,9 @@ def main():
     force(solver(A, b, c, bu, bl))
     log(f"warmup (incl. compile): {time.perf_counter() - t0:.1f}s")
 
-    log("timed runs (best of 3; the remote-TPU tunnel adds jitter)...")
+    log("timed runs (best of 5; the remote-TPU tunnel adds jitter)...")
     wall = float("inf")
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.perf_counter()
         res = solver(A, b, c, bu, bl)
         iters = force(res)
