@@ -6,6 +6,18 @@ device hardware (the reference compile-tests its GPU backends; we actually
 """
 
 import os
+import resource
+
+# XLA's CPU compiler can blow the default 8 MB stack on worker threads
+# when compiling large nested-while programs (observed as segfaults in
+# backend_compile); raise the soft limit for threads spawned after this
+try:
+    _soft, _hard = resource.getrlimit(resource.RLIMIT_STACK)
+    _want = 64 * 1024 * 1024
+    if _hard == resource.RLIM_INFINITY or _hard >= _want:
+        resource.setrlimit(resource.RLIMIT_STACK, (_want, _hard))
+except (ValueError, OSError):
+    pass
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
