@@ -34,6 +34,18 @@ from .types import ConeData, ConeSpec, Problem, Settings, Solution
 
 __version__ = config.VERSION
 
+# exit-flag constants (scs-python module attributes / include/scs.h:33-42)
+INFEASIBLE_INACCURATE = config.INFEASIBLE_INACCURATE
+UNBOUNDED_INACCURATE = config.UNBOUNDED_INACCURATE
+SIGINT = config.SIGINT
+FAILED = config.FAILED
+INDETERMINATE = config.INDETERMINATE
+INFEASIBLE = config.INFEASIBLE
+UNBOUNDED = config.UNBOUNDED
+UNFINISHED = config.UNFINISHED
+SOLVED = config.SOLVED
+SOLVED_INACCURATE = config.SOLVED_INACCURATE
+
 
 def _to_dense(M) -> np.ndarray:
     if hasattr(M, "todense"):  # scipy sparse

@@ -149,3 +149,8 @@ def test_write_data_roundtrip(tmp_path):
 def test_version():
     assert compat.version() == scs_tpu.__version__
     assert scs_tpu.scs_version() == scs_tpu.__version__
+
+
+def test_status_constants():
+    assert compat.SOLVED == 1 and compat.INFEASIBLE == -2
+    assert compat.UNBOUNDED == -1 and compat.SIGINT == -5
