@@ -110,6 +110,30 @@ bool read_amatrix(Cursor* c, int64_t* m, int64_t* n,
   return c->ivec(rowidx, nnz);
 }
 
+// Full structural validation of parsed CSC arrays. The file is untrusted
+// input (interchange files from the reference solver, run_from_file CLI),
+// so every colptr entry and rowidx must be range-checked BEFORE the
+// densify loops index with them (mirrors SCS(validate_lin_sys),
+// linsys/scs_matrix.c:65-157).
+bool valid_csc(int64_t m, int64_t n, const std::vector<int64_t>& colptr,
+               const std::vector<int64_t>& rowidx,
+               const std::vector<double>& vals) {
+  if (m < 0 || n < 0) return false;
+  if (colptr.size() != static_cast<size_t>(n) + 1) return false;
+  if (colptr[0] != 0) return false;
+  for (int64_t j = 0; j < n; ++j) {
+    if (colptr[j + 1] < colptr[j]) return false;
+  }
+  const int64_t nnz = colptr[n];
+  if (nnz != static_cast<int64_t>(vals.size()) ||
+      nnz != static_cast<int64_t>(rowidx.size()))
+    return false;
+  for (int64_t k = 0; k < nnz; ++k) {
+    if (rowidx[k] < 0 || rowidx[k] >= m) return false;
+  }
+  return true;
+}
+
 void set_err(char* err, int64_t errlen, const std::string& msg) {
   if (err && errlen > 0) {
     std::snprintf(err, static_cast<size_t>(errlen), "%s", msg.c_str());
@@ -195,10 +219,22 @@ void* scs_file_open(const char* path, char* err, int64_t errlen) {
   int64_t am = 0, an = 0;
   ok = ok && read_amatrix(&c, &am, &an, &p->a_colptr, &p->a_rowidx,
                           &p->a_vals);
+  if (ok && !(am == p->m && an == p->n &&
+              valid_csc(p->m, p->n, p->a_colptr, p->a_rowidx, p->a_vals))) {
+    set_err(err, errlen, "corrupt CSC structure for A in SCS data file");
+    delete p;
+    return nullptr;
+  }
   ok = ok && c.int1(&p->has_p);
   if (ok && p->has_p) {
     int64_t pm = 0, pn = 0;
     ok = read_amatrix(&c, &pm, &pn, &p->p_colptr, &p->p_rowidx, &p->p_vals);
+    if (ok && !(pm == p->n && pn == p->n &&
+                valid_csc(p->n, p->n, p->p_colptr, p->p_rowidx, p->p_vals))) {
+      set_err(err, errlen, "corrupt CSC structure for P in SCS data file");
+      delete p;
+      return nullptr;
+    }
   }
 
   // ---- settings (rw.c:322-355) ----

@@ -24,12 +24,29 @@ Solver semantics follow SCS 3.2.11 so results are comparable at the default
 tolerances (eps_abs = eps_rel = 1e-4).
 """
 
+import os
+
 import jax
 
 # Double precision is the default numeric contract (the reference is f64;
 # its tolerance constants — 1e-12 CG floors, 1e-9 infeasibility guards —
 # assume it). f32 remains available per-problem via Settings.dtype.
 jax.config.update("jax_enable_x64", True)
+
+# Persistent compilation cache: solver programs are large (the whole ADMM
+# loop is one XLA program) and first-compiles over a remote-TPU link run
+# minutes; caching amortizes them across processes and runs. Respect an
+# explicit user setting; otherwise default to a per-user cache dir.
+if "JAX_COMPILATION_CACHE_DIR" not in os.environ:
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.path.join(os.path.expanduser("~"), ".cache", "scs_tpu",
+                         "jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception:  # older jax without these flags: run uncached
+        pass
 
 # TPU MXUs run f32 matmuls as single-pass bf16 by default (~1e-2 relative
 # error) — unusable for a numerical solver. "highest" gives true-f32

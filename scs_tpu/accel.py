@@ -99,11 +99,16 @@ def _frob_from_cols(nrm):
 
 def aa_apply(a: AAState, f, x, *, mem: int, type1: bool,
              regularization: float, relaxation: float,
-             max_weight_norm: float = config.AA_MAX_WEIGHT_NORM):
+             max_weight_norm: float = config.AA_MAX_WEIGHT_NORM,
+             gamma_f32: bool = False):
     """One AA application. Returns (state, f_out, aa_norm).
 
     aa_norm > 0 means the step was accepted and f_out is the AA point;
     aa_norm <= 0 means f_out == f (rejected / warm-up).
+
+    gamma_f32 drops the Gram build/solve to f32 — set it only on the
+    mixed-precision TPU path where f64 matmuls are software-emulated;
+    pure-f64 and CPU runs keep the reference's f64 AA weights (aa.c).
     """
     dtype = f.dtype
     zero = jnp.zeros((), dtype)
@@ -131,13 +136,14 @@ def aa_apply(a: AAState, f, x, *, mem: int, type1: bool,
         length = jnp.minimum(a.it, mem)
         mask = (jnp.arange(mem) < length).astype(dtype)
 
-        # gamma quality path in f32: the (mem x mem) Gram/solve only picks
-        # the acceleration direction (safeguard + weight cap give
-        # correctness), and f64 matmuls are software-emulated on TPU at
-        # 10-35x the f32 cost
-        f32 = jnp.float32
-        A_mat = ((S if type1 else Y) * mask[:, None]).astype(f32)
-        B_mat = (Y * mask[:, None]).astype(f32)
+        # gamma path dtype: f32 on the mixed TPU path only — the
+        # (mem x mem) Gram/solve just picks the acceleration direction
+        # (safeguard + weight cap give correctness) and f64 matmuls are
+        # software-emulated on TPU at 10-35x the f32 cost; everywhere
+        # else match the reference's f64 AA weights (aa.c:422-652)
+        gdt = jnp.float32 if gamma_f32 else dtype
+        A_mat = ((S if type1 else Y) * mask[:, None]).astype(gdt)
+        B_mat = (Y * mask[:, None]).astype(gdt)
         # regularization modes (aa.c:437-451)
         if regularization > 0:
             nrm_yf = _frob_from_cols(nrm_y)
@@ -148,8 +154,8 @@ def aa_apply(a: AAState, f, x, *, mem: int, type1: bool,
         else:
             r = zero
         G = A_mat @ B_mat.T
-        G = G + ((r + (1.0 - mask)) * jnp.eye(mem, dtype=dtype)).astype(f32)
-        rhs = A_mat @ g.astype(f32)
+        G = G + ((r + (1.0 - mask)) * jnp.eye(mem, dtype=dtype)).astype(gdt)
+        rhs = A_mat @ g.astype(gdt)
         gamma = (_small_solve(G, rhs, mem).astype(dtype)) * mask
         aa_norm = jnp.linalg.norm(gamma)
 

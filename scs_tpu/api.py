@@ -315,12 +315,14 @@ class Workspace:
         else:
             phases = [(self._runner, self.data)]
 
+        polished = False
         try:
             for phase_idx, (runner, data) in enumerate(phases):
                 if phase_idx > 0:
                     st, proceed = self._enter_polish_phase(st)
                     if not proceed:
                         break
+                    polished = True
                     runner = _cached_runner(self.spec,
                                             _compile_key(self._polish_stg))
                 while True:
@@ -360,7 +362,16 @@ class Workspace:
         # persist adapted scale / diag_r for subsequent warm solves
         self.scale = float(st.scale)
         self.diag_r = st.diag_r
-        self.derived = st.derived
+        if polished:
+            # The polish phase swapped in a pure-f64 factor whose pytree
+            # structure differs from the mixed form the cached fast-phase
+            # runner was compiled against; persisting it would make the
+            # next solve()'s update_scale cond trace with mismatched
+            # branch structures. Restore the mixed-form factor.
+            self.derived = self.backend.derive(
+                self._mats(), st.diag_r, st.scale, mixed=self._mixed)
+        else:
+            self.derived = st.derived
         if stg.verbose:
             self._print_footer(info)
         return solution, info
@@ -430,7 +441,8 @@ class Workspace:
         accel = jax.jit(lambda a, f, x: aa_apply(
             a, f, x, mem=mem, type1=stg.acceleration_type_1,
             regularization=stg.acceleration_regularization,
-            relaxation=stg.acceleration_relaxation)[1])
+            relaxation=stg.acceleration_relaxation,
+            gamma_f32=self._mixed)[1])
 
         def clock(fn, *args):
             _np.asarray(fn(*args))  # compile + settle

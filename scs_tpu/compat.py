@@ -171,17 +171,26 @@ class SCS:
         self._stg = _parse_settings(settings)
         self._work = Workspace(self._problem, self._spec, self._cone_data,
                                self._stg)
+        self._last_sol: Optional[Solution] = None
 
     def solve(self, warm_start: bool = True, x=None, y=None, s=None) -> dict:
         """Solve; optionally warm-started from (x, y, s).
 
-        Matches scs-python's SCS.solve: warm_start defaults True but only
-        takes effect when a guess is supplied.
+        Matches scs-python's SCS.solve: with warm_start=True (the default)
+        and no explicit guess, the solver warm-starts from its retained
+        iterate from the previous solve — the update()+re-solve pattern
+        keeps its warm start. NaN entries in the retained iterate (e.g.
+        from certificates) are scrubbed to 0 by the workspace.
         """
         sol = None
-        if warm_start and x is not None and y is not None and s is not None:
-            sol = Solution(x=np.asarray(x), y=np.asarray(y), s=np.asarray(s))
+        if warm_start:
+            if x is not None and y is not None and s is not None:
+                sol = Solution(x=np.asarray(x), y=np.asarray(y),
+                               s=np.asarray(s))
+            else:
+                sol = self._last_sol
         solution, info = self._work.solve(warm_start=sol is not None, sol=sol)
+        self._last_sol = solution
         return {"x": solution.x, "y": solution.y, "s": solution.s,
                 "info": _info_dict(info)}
 

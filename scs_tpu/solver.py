@@ -430,7 +430,8 @@ def make_steps(spec: ConeSpec, stg: Settings):
                 return accel.aa_apply(
                     a, f, x, mem=mem, type1=stg.acceleration_type_1,
                     regularization=stg.acceleration_regularization,
-                    relaxation=stg.acceleration_relaxation)
+                    relaxation=stg.acceleration_relaxation,
+                    gamma_f32=mixed)
 
             def no_apply(args):
                 a, f, _ = args

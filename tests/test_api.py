@@ -224,6 +224,24 @@ def test_checkpoint_shape_mismatch_rejected(tmp_path):
         load_state(f, w2._init_state(None))
 
 
+@pytest.mark.parametrize("linsys", ["direct", "indirect"])
+def test_mixed_resolve_after_polish(linsys):
+    """Re-solving a mixed-precision workspace after the pure-f64 polish
+    phase must work (round-1 advisor finding: the polish-phase factor
+    persisted into the workspace with a pytree structure the cached
+    fast-phase runner was not compiled against, crashing solve #2)."""
+    spec = ConeSpec(l=60)
+    p = gen_planted(spec, n=20, seed=91, density=0.3)
+    stg = Settings(mixed_precision=True, linsys=linsys,
+                   eps_abs=1e-6, eps_rel=1e-6)
+    w = scs_tpu.Workspace(p.problem, spec, p.cone_data, stg)
+    sol, info1 = w.solve()
+    assert info1.status_val == config.SOLVED
+    sol2, info2 = w.solve(warm_start=True, sol=sol)
+    assert info2.status_val == config.SOLVED
+    assert abs(info2.pobj - info1.pobj) < 1e-4 * (1 + abs(info1.pobj))
+
+
 def test_profile_phases():
     spec = ConeSpec(z=4, l=10, q=(6,))
     p = gen_planted(spec, n=10, seed=17)

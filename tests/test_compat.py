@@ -154,3 +154,25 @@ def test_version():
 def test_status_constants():
     assert compat.SOLVED == 1 and compat.INFEASIBLE == -2
     assert compat.UNBOUNDED == -1 and compat.SIGINT == -5
+
+
+def test_compat_warm_start_retained_iterate():
+    """scs-python's solve(warm_start=True) warm-starts from the retained
+    internal iterate even when x/y/s are not supplied; the update()+
+    re-solve pattern must keep its warm start (round-1 advisor finding)."""
+    rng = np.random.RandomState(5)
+    n, m = 30, 90
+    A = rng.randn(m, n) * (rng.rand(m, n) < 0.3)
+    x0 = rng.randn(n)
+    s0 = np.maximum(rng.randn(m), 0.0)
+    y0 = np.maximum(rng.randn(m), 0.0)
+    data = {"A": sp.csc_matrix(A), "b": A @ x0 + s0, "c": -A.T @ y0}
+    cone = {"l": m}
+    solver = compat.SCS(data, cone, verbose=False)
+    sol1 = solver.solve(warm_start=False)
+    assert sol1["info"]["status_val"] == config.SOLVED
+    # tiny perturbation + implicit warm start: far fewer iterations
+    solver.update(b=data["b"] + 1e-6)
+    sol2 = solver.solve()  # warm_start=True default, no explicit guess
+    assert sol2["info"]["status_val"] == config.SOLVED
+    assert sol2["info"]["iter"] < sol1["info"]["iter"]

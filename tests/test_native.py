@@ -101,3 +101,36 @@ def test_native_reader_rejects_garbage(tmp_path):
     open(f2, "wb").write(b"ab")
     with pytest.raises(ValueError):
         sio.read_scs_data(f2)
+
+
+def test_native_reader_rejects_corrupt_csc(tmp_path):
+    """File-supplied CSC structure is untrusted: out-of-range row indices
+    and non-monotone colptr must fail cleanly at parse time, never reach
+    the densify loops (round-1 advisor finding: OOB heap read/write)."""
+    import struct
+
+    def _f(path, rowidx, colptr):
+        ver = b"3.2.11"
+        out = struct.pack("<III", 8, 8, len(ver)) + ver
+        # cone: z=0 l=2 bsize=0 qsize=0 ssize=0 ep=0 ed=0 psize=0
+        out += struct.pack("<8q", 0, 2, 0, 0, 0, 0, 0, 0)
+        # data: m=2 n=1, b (2), c (1)
+        out += struct.pack("<2q", 2, 1)
+        out += struct.pack("<2d", -1.0, -2.0) + struct.pack("<d", 1.0)
+        # A: m=2 n=1, colptr, vals, rowidx
+        out += struct.pack("<2q", 2, 1)
+        out += struct.pack(f"<{len(colptr)}q", *colptr)
+        nnz = max(colptr[-1], 0)
+        out += struct.pack(f"<{nnz}d", *([1.0] * nnz))
+        out += struct.pack(f"<{len(rowidx)}q", *rowidx)
+        open(path, "wb").write(out)
+        return path
+
+    good = _f(str(tmp_path / "good.dat"), [0, 1], [0, 2])
+    bad_row = _f(str(tmp_path / "badrow.dat"), [0, 99], [0, 2])
+    neg_ptr = _f(str(tmp_path / "negptr.dat"), [0, 1], [-2, 2])
+    for f in (good, bad_row, neg_ptr):
+        # `good` still fails (settings section truncated) but must fail
+        # through the parser's clean error path, like the corrupt ones
+        with pytest.raises(ValueError):
+            sio.read_scs_data(f)
