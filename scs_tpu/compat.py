@@ -53,10 +53,27 @@ def _to_dense(M) -> np.ndarray:
     return np.asarray(M, dtype=np.float64)
 
 
-def _parse_data(data: dict) -> Problem:
+def _parse_data(data: dict, storage: str = "dense") -> Problem:
     import jax.numpy as jnp
     if "A" not in data or "b" not in data or "c" not in data:
         raise ValueError("data must contain 'A', 'b' and 'c'")
+    if storage == "sparse":
+        # O(nnz_blocks) blocked-ELL storage: the matrix-free indirect path
+        # (requires linsys='indirect' and no P; see ops/sparse.py)
+        import scipy.sparse as _sp
+        from .ops.sparse import sparse_from_scipy
+        A_in = data["A"]
+        A_sp = A_in if _sp.issparse(A_in) else _sp.csc_matrix(
+            np.asarray(A_in, dtype=np.float64))
+        b = np.asarray(data["b"], dtype=np.float64)
+        c = np.asarray(data["c"], dtype=np.float64)
+        if data.get("P") is not None:
+            raise ValueError("storage='sparse' requires P=None")
+        return Problem(A=sparse_from_scipy(A_sp), b=jnp.asarray(b),
+                       c=jnp.asarray(c), P=None)
+    if storage != "dense":
+        raise ValueError(f"unknown storage {storage!r}; "
+                         "expected 'dense' or 'sparse'")
     A = _to_dense(data["A"])
     b = np.asarray(data["b"], dtype=np.float64)
     c = np.asarray(data["c"], dtype=np.float64)
@@ -166,7 +183,8 @@ class SCS:
     """scs-python compatible solver object (scs.SCS analog)."""
 
     def __init__(self, data: dict, cone: dict, **settings: Any):
-        self._problem = _parse_data(data)
+        storage = settings.pop("storage", "dense")
+        self._problem = _parse_data(data, storage=storage)
         self._spec, self._cone_data = _parse_cone(cone)
         self._stg = _parse_settings(settings)
         self._work = Workspace(self._problem, self._spec, self._cone_data,

@@ -57,9 +57,21 @@ def _apply_limit(x):
     return jnp.minimum(x, config.MAX_NORMALIZATION_FACTOR)
 
 
+def equilibrate(A, P, spec: ConeSpec):
+    """Rescale A -> DAE, P -> EPE in the Ruiz/L2 sense. Returns (A, P, Scaling).
+
+    Dispatches on storage: dense arrays use full-tile reductions; SparseA
+    (blocked-ELL) uses the structure-aware norm/scale ops, never
+    materializing the dense matrix (O(nnz_blocks) per pass, matching the
+    reference's per-nnz equilibration cost)."""
+    from .ops.sparse import is_sparse
+    if is_sparse(A):
+        return _equilibrate_sparse(A, P, spec)
+    return _equilibrate_dense(A, P, spec)
+
+
 @functools.partial(jax.jit, static_argnames=("spec",))
-def equilibrate(A: jnp.ndarray, P, spec: ConeSpec):
-    """Rescale A -> DAE, P -> EPE in the Ruiz/L2 sense. Returns (A, P, Scaling)."""
+def _equilibrate_dense(A: jnp.ndarray, P, spec: ConeSpec):
     m, n = A.shape
     ids_np, nseg = _segment_ids(spec)
     ids = jnp.asarray(ids_np)
@@ -106,6 +118,52 @@ def equilibrate(A: jnp.ndarray, P, spec: ConeSpec):
 
     one = jnp.ones((), A.dtype)
     return A, P, Scaling(D=D, E=E, primal_scale=one, dual_scale=one)
+
+
+@functools.partial(jax.jit, static_argnames=("spec",))
+def _equilibrate_sparse(A, P, spec: ConeSpec):
+    """Blocked-ELL variant: same passes, structure-aware reductions.
+    P must be None (validated upstream; the sparse path targets LP/SOCP
+    scale-out where P is absent)."""
+    from .ops.sparse import (ell_col_abs_max, ell_col_sumsq,
+                             ell_row_abs_max, ell_row_sumsq, scale_sparse)
+    assert P is None
+    m, n = A.shape
+    ids_np, nseg = _segment_ids(spec)
+    ids = jnp.asarray(ids_np)
+
+    def ruiz_pass(carry, _):
+        A, = carry
+        Dt = ell_row_abs_max(A.fwd)
+        Dt = jax.ops.segment_max(Dt, ids, num_segments=nseg)[ids]
+        Dt = 1.0 / jnp.sqrt(_apply_limit(Dt))
+        Et = ell_col_abs_max(A.fwd)
+        Et = 1.0 / jnp.sqrt(_apply_limit(Et))
+        return (scale_sparse(A, Dt, Et),), (Dt, Et)
+
+    def l2_pass(carry, _):
+        A, = carry
+        Dt = jnp.sqrt(ell_row_sumsq(A.fwd))
+        seg_sum = jax.ops.segment_sum(Dt, ids, num_segments=nseg)
+        seg_cnt = jax.ops.segment_sum(jnp.ones_like(Dt), ids,
+                                      num_segments=nseg)
+        Dt = (seg_sum / jnp.maximum(seg_cnt, 1.0))[ids]
+        Dt = 1.0 / jnp.sqrt(_apply_limit(Dt))
+        Et = ell_col_sumsq(A.fwd)
+        Et = 1.0 / jnp.sqrt(_apply_limit(jnp.sqrt(Et)))
+        return (scale_sparse(A, Dt, Et),), (Dt, Et)
+
+    (A,), (Dts, Ets) = jax.lax.scan(
+        ruiz_pass, (A,), None, length=config.NUM_RUIZ_PASSES)
+    D = jnp.prod(Dts, axis=0)
+    E = jnp.prod(Ets, axis=0)
+    for _ in range(config.NUM_L2_PASSES):
+        (A,), (Dt, Et) = l2_pass((A,), None)
+        D = D * Dt
+        E = E * Et
+
+    one = jnp.ones((), A.dtype)
+    return A, None, Scaling(D=D, E=E, primal_scale=one, dual_scale=one)
 
 
 def normalize_b_c(scal: Scaling, b: jnp.ndarray, c: jnp.ndarray):

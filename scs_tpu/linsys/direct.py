@@ -52,6 +52,12 @@ def precompute(A, P, n_zero: int):
     """Scale-free Gram cache K = A'A + 999 A_z'A_z (invariant), plus the
     double-single operand splits for the Pallas matvec fast path."""
     del P
+    from ..ops.sparse import is_sparse
+    if is_sparse(A):
+        raise ValueError(
+            "linsys='direct' requires dense A (the Schur Gram is dense); "
+            "use linsys='indirect' for sparse (blocked-ELL) storage — the "
+            "matrix-free path, matching the reference's sparse backends")
     Az = A[:n_zero]
     K = A.T @ A
     if n_zero:

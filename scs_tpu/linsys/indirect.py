@@ -32,6 +32,8 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import dsmatvec
+from ..ops.sparse import (DsBlocked, ds_ell_matvec, ds_split_ell,
+                          ell_col_sumsq, is_sparse)
 
 METHOD_NAME = "dense-indirect-jacobi-pcg"
 
@@ -53,8 +55,19 @@ REFINE_PASS_RTOL = 3e-6
 
 def precompute(A, P, n_zero: int):
     """Scale-free preconditioner cache diag(K) = diag(A'A + 999 A_z'A_z),
-    plus double-single operand splits for the f64-accurate matvecs."""
+    plus double-single operand splits for the f64-accurate matvecs.
+
+    Sparse (blocked-ELL) A: structure-aware column reduction + per-block
+    ds splits — this is the O(nnz) matrix-free path matching the
+    reference's sparse indirect backend (csparse.c + private.c:106-119)."""
     del P
+    if is_sparse(A):
+        m = A.shape[0]
+        w = jnp.where(jnp.arange(m) < n_zero, 1000.0, 1.0).astype(A.dtype)
+        d = ell_col_sumsq(A.fwd, w)
+        if dsmatvec.supported():
+            return IndirectCache(d, ds_split_ell(A.fwd), ds_split_ell(A.bwd))
+        return IndirectCache(d, None, None)
     d = jnp.sum(A * A, axis=0)
     if n_zero:
         Az = A[:n_zero]
@@ -90,6 +103,8 @@ def _mat_vec(A, P, diag_r, x):
 
 
 def _A_matvec(mats, x):
+    if isinstance(mats.cache.ds_fwd, DsBlocked):
+        return ds_ell_matvec(mats.cache.ds_fwd, x)
     if mats.cache.ds_fwd is not None:
         m, n = mats.A.shape
         return dsmatvec.ds_matvec(mats.cache.ds_fwd, x, m, n)
@@ -97,6 +112,8 @@ def _A_matvec(mats, x):
 
 
 def _At_matvec(mats, z):
+    if isinstance(mats.cache.ds_bwd, DsBlocked):
+        return ds_ell_matvec(mats.cache.ds_bwd, z)
     if mats.cache.ds_bwd is not None:
         m, n = mats.A.shape
         return dsmatvec.ds_matvec(mats.cache.ds_bwd, z, n, m)

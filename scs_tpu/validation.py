@@ -19,6 +19,8 @@ class ValidationError(ValueError):
 
 
 def validate(problem: Problem, spec: ConeSpec, cone_data, stg: Settings) -> None:
+    from .ops.sparse import is_sparse
+    sparse_A = is_sparse(problem.A)
     m, n = problem.A.shape
     if m <= 0 or n <= 0:
         raise ValidationError(f"m and n must both be > 0; m={m}, n={n}")
@@ -26,6 +28,17 @@ def validate(problem: Problem, spec: ConeSpec, cone_data, stg: Settings) -> None
         raise ValidationError(f"b must have shape ({m},), got {problem.b.shape}")
     if problem.c.shape != (n,):
         raise ValidationError(f"c must have shape ({n},), got {problem.c.shape}")
+    if sparse_A:
+        if stg.linsys != "indirect":
+            raise ValidationError(
+                "sparse (blocked-ELL) A requires linsys='indirect' (the "
+                "matrix-free path); the direct backend forms a dense Gram")
+        if problem.P is not None:
+            raise ValidationError(
+                "sparse A currently requires P=None (LP/SOCP scale-out); "
+                "densify A to use a quadratic objective")
+        if not bool(np.all(np.isfinite(np.asarray(problem.A.fwd.data)))):
+            raise ValidationError("A contains non-finite entries")
     if problem.P is not None:
         if problem.P.shape != (n, n):
             raise ValidationError(
@@ -36,7 +49,7 @@ def validate(problem: Problem, spec: ConeSpec, cone_data, stg: Settings) -> None
                                   "the reference takes upper-triangular CSC)")
         if not np.all(np.isfinite(Pn)):
             raise ValidationError("P contains non-finite entries")
-    if not np.all(np.isfinite(np.asarray(problem.A))):
+    if not sparse_A and not np.all(np.isfinite(np.asarray(problem.A))):
         raise ValidationError("A contains non-finite entries")
     if not np.all(np.isfinite(np.asarray(problem.b))):
         raise ValidationError("b contains non-finite entries")

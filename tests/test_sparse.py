@@ -1,0 +1,134 @@
+"""Sparse (blocked-ELL) storage path: O(nnz_blocks) problems through the
+matrix-free indirect backend, with dense-path parity as the oracle.
+
+Restores the reference's sparse capability (linsys/csparse.c +
+linsys/cpu/indirect/private.c:106-119) — same solves, never materializing
+dense A."""
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+import scs_tpu
+from scs_tpu import config
+from scs_tpu.equilibrate import equilibrate
+from scs_tpu.models import gen_planted
+from scs_tpu.ops import sparse as sps
+from scs_tpu.types import ConeSpec, Settings
+from scs_tpu.validation import ValidationError
+
+
+def _sparsify(problem):
+    import dataclasses
+    return dataclasses.replace(
+        problem, A=sps.sparse_from_dense(np.asarray(problem.A)))
+
+
+@pytest.mark.parametrize("spec,n,seed", [
+    (ConeSpec(l=90), 30, 11),
+    (ConeSpec(z=20, l=40, q=(12, 8, 20)), 40, 13),
+])
+def test_sparse_dense_parity(spec, n, seed):
+    p = gen_planted(spec, n=n, seed=seed, density=0.1)
+    stg = Settings(linsys="indirect", eps_abs=1e-6, eps_rel=1e-6)
+    sol_d, info_d = scs_tpu.solve(p.problem, spec, p.cone_data, stg)
+    sol_s, info_s = scs_tpu.solve(_sparsify(p.problem), spec, p.cone_data,
+                                  stg)
+    assert info_d.status_val == config.SOLVED
+    assert info_s.status_val == config.SOLVED
+    assert abs(info_s.pobj - info_d.pobj) < 1e-5 * (1 + abs(info_d.pobj))
+    np.testing.assert_allclose(sol_s.x, sol_d.x, atol=1e-4, rtol=1e-4)
+
+
+def test_sparse_mixed_flag_path():
+    """mixed_precision=True with sparse storage (CPU: no Pallas, so the
+    f32 CG + f64 refinement falls back to einsum matvecs — still must
+    converge to the tight targets through the polish phase)."""
+    spec = ConeSpec(l=60)
+    p = gen_planted(spec, n=20, seed=17, density=0.15)
+    stg = Settings(linsys="indirect", mixed_precision=True,
+                   eps_abs=1e-7, eps_rel=1e-7)
+    sol, info = scs_tpu.solve(_sparsify(p.problem), spec, p.cone_data, stg)
+    assert info.status_val == config.SOLVED
+    assert abs(info.pobj - p.opt) < 1e-4 * (1 + abs(p.opt))
+
+
+def test_sparse_equilibration_matches_dense():
+    spec = ConeSpec(z=10, l=30, q=(8,))
+    p = gen_planted(spec, n=16, seed=23, density=0.2)
+    A = np.asarray(p.problem.A)
+    _, _, scal_d = equilibrate(p.problem.A, None, spec)
+    _, _, scal_s = equilibrate(sps.sparse_from_dense(A), None, spec)
+    np.testing.assert_allclose(np.asarray(scal_s.D), np.asarray(scal_d.D),
+                               rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(scal_s.E), np.asarray(scal_d.E),
+                               rtol=1e-12)
+
+
+def test_sparse_infeasible_certificate():
+    """x >= 1 and x <= 0 simultaneously: infeasible, with the b'y = -1
+    certificate normalization surviving the sparse path."""
+    A = np.array([[-1.0], [1.0]])
+    prob = scs_tpu.Problem(
+        A=sps.sparse_from_dense(A),
+        b=np.asarray([-1.0, 0.0]), c=np.asarray([0.0]))
+    sol, info = scs_tpu.solve(prob, ConeSpec(l=2),
+                              settings=Settings(linsys="indirect"))
+    assert info.status_val == config.INFEASIBLE
+    bty = float(np.array([-1.0, 0.0]) @ sol.y)
+    assert abs(bty + 1.0) < 1e-9
+
+
+def test_sparse_requires_indirect_and_no_P():
+    spec = ConeSpec(l=4)
+    A = sps.sparse_from_dense(-np.eye(4))
+    prob = scs_tpu.Problem(A=A, b=np.zeros(4), c=np.ones(4))
+    with pytest.raises(ValidationError, match="indirect"):
+        scs_tpu.Workspace(prob, spec, settings=Settings(linsys="direct"))
+    import dataclasses
+    prob_p = dataclasses.replace(prob, P=np.eye(4))
+    with pytest.raises(ValidationError, match="P"):
+        scs_tpu.Workspace(prob_p, spec,
+                          settings=Settings(linsys="indirect"))
+
+
+def test_compat_sparse_storage():
+    from scs_tpu import compat
+    rng = np.random.RandomState(3)
+    n, m = 25, 75
+    A = rng.randn(m, n) * (rng.rand(m, n) < 0.2)
+    x0 = rng.randn(n)
+    s0 = np.maximum(rng.randn(m), 0.0)
+    y0 = np.maximum(rng.randn(m), 0.0)
+    data = {"A": sp.csc_matrix(A), "b": A @ x0 + s0, "c": -A.T @ y0}
+    out = compat.solve(data, {"l": m}, verbose=False, storage="sparse",
+                       linsys="indirect")
+    assert out["info"]["status_val"] == config.SOLVED
+    ref = compat.solve(data, {"l": m}, verbose=False)
+    assert abs(out["info"]["pobj"] - ref["info"]["pobj"]) < 1e-3 * (
+        1 + abs(ref["info"]["pobj"]))
+
+
+def test_blocked_ell_big_shape_memory():
+    """A 4000 x 3000 banded matrix (nnz ~ 0.6M) must store far below
+    dense size and apply correctly — the O(nnz_blocks) contract."""
+    m, n = 4000, 3000
+    rows = np.arange(m)
+    # block-banded: each row hits a 128-wide band starting near its column
+    band = [(r, min((r * 3 // 4) // 128 * 128 + j, n - 1))
+            for r in range(m) for j in range(0, 128, 16)]
+    r_idx = np.array([t[0] for t in band])
+    c_idx = np.array([t[1] for t in band])
+    vals = np.sin(np.arange(r_idx.size)) + 1.1
+    # ell_from_coo takes unique coordinates (the clamp above can repeat)
+    _, first = np.unique(r_idx * n + c_idx, return_index=True)
+    r_idx, c_idx, vals = r_idx[first], c_idx[first], vals[first]
+    S = sps.SparseA(
+        fwd=sps.ell_from_coo(r_idx, c_idx, vals, m, n),
+        bwd=sps.ell_from_coo(c_idx, r_idx, vals, n, m))
+    frac = S.nnz_stored() / (2.0 * m * n)
+    assert frac < 0.15, frac
+    x = np.random.RandomState(0).randn(n)
+    ref = sp.coo_matrix((vals, (r_idx, c_idx)), shape=(m, n)).tocsr() @ x
+    got = np.asarray(S @ x)
+    np.testing.assert_allclose(got, ref, atol=1e-10)
