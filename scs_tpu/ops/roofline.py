@@ -1,0 +1,130 @@
+"""Achieved-HBM-bandwidth probe for the solver's hot matvec kernels.
+
+BASELINE.md sets "CG matvec >= 70% of HBM roofline per chip" as a perf
+target (the CG matvec — A@x followed by A'@z inside the Schur apply,
+linsys/indirect.py — streams the operand from HBM once per apply, so it
+is bandwidth-bound, not FLOP-bound, at solver sizes). This module
+measures what the kernels actually achieve:
+
+  * the double-single Pallas matvec (ops/dsmatvec.py) — the mixed-path
+    CG matvec: streams Ahi+Alo (two f32 images of A) per apply
+  * the plain f32 XLA matvec — streams one f32 image per apply
+  * the plain f64 XLA matvec — the pure-path matvec (f64 is
+    software-emulated on TPU, so this one is compute-bound and far off
+    the roofline; reported for contrast)
+
+Method: K back-to-back dependent applies chained inside ONE jitted
+fori_loop (a single device dispatch, so remote-tunnel latency and
+dispatch overhead are amortized to nothing), best-of-R timed runs,
+achieved bytes/s = K * bytes_streamed_per_apply / time. Peak HBM
+bandwidth is looked up by device kind.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import dsmatvec
+
+# Peak HBM bandwidth per chip, GB/s (vendor-published specs).
+PEAK_HBM_GBPS = {
+    "v5 lite": 819.0,
+    "v5e": 819.0,
+    "v5p": 2765.0,
+    "v6": 1640.0,
+    "v4": 1228.0,
+    "v3": 900.0,
+    "v2": 700.0,
+}
+
+
+def device_peak_gbps(device=None) -> Optional[float]:
+    if device is None:
+        device = jax.devices()[0]
+    kind = getattr(device, "device_kind", "").lower()
+    for key, gbps in PEAK_HBM_GBPS.items():
+        if key in kind:
+            return gbps
+    return None
+
+
+def _time_chained(apply_fn, x0, iters: int, reps: int) -> float:
+    """Best-of-reps wall time of `iters` dependent applies in one jit."""
+
+    @jax.jit
+    def run(x):
+        def body(_, x):
+            y = apply_fn(x)
+            # rescale so the chain can't overflow; one tiny reduction
+            return y / jnp.maximum(jnp.max(jnp.abs(y)), 1e-30)
+
+        return jax.lax.fori_loop(0, iters, body, x)
+
+    np.asarray(run(x0))  # compile + settle (np.asarray: axon-safe sync)
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = run(x0)
+        np.asarray(out)
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def measure(n: int = 4096, iters: int = 400, reps: int = 3) -> dict:
+    """Measure achieved HBM bytes/s of the square (n, n) matvecs.
+
+    Returns a dict with achieved GB/s per kernel, the chip peak, and
+    `frac` = ds-kernel achieved / peak (the BASELINE.md metric; the ds
+    kernel is what the mixed-precision CG path actually runs).
+
+    iters must be large enough that the chain's device time dwarfs the
+    per-dispatch latency (~100 ms over the remote-TPU tunnel): at
+    n=4096 each ds apply streams ~134 MB, so 400 applies ~= 54 GB,
+    ~65 ms at an 819 GB/s chip — raise iters if measuring a faster chip.
+    """
+    dev = jax.devices()[0]
+    rng = np.random.RandomState(0)
+    A64 = jnp.asarray(rng.randn(n, n))
+    x0 = jnp.asarray(rng.randn(n))
+
+    out = {"device": getattr(dev, "device_kind", str(dev)), "n": n,
+           "iters": iters}
+
+    # double-single Pallas kernel (the mixed-path CG matvec)
+    if dsmatvec.supported():
+        split = dsmatvec.split_operand(A64)
+        mp, npad = split[0].shape
+        bytes_per = 2 * mp * npad * 4  # Ahi + Alo, f32
+        t = _time_chained(lambda x: dsmatvec.ds_matvec(split, x, n, n),
+                          x0, iters, reps)
+        out["ds_gbps"] = iters * bytes_per / t / 1e9
+    else:
+        out["ds_gbps"] = None
+
+    # plain f32 XLA matvec (one f32 image per apply)
+    A32 = A64.astype(jnp.float32)
+    t = _time_chained(lambda x: A32 @ x, x0.astype(jnp.float32), iters, reps)
+    out["f32_gbps"] = iters * (n * n * 4) / t / 1e9
+
+    # plain f64 XLA matvec (the pure-path matvec; software-emulated on
+    # TPU, so compute-bound — far fewer iters needed to resolve it)
+    f64_iters = max(iters // 16, 8)
+    t = _time_chained(lambda x: A64 @ x, x0, f64_iters, max(2, reps // 2))
+    out["f64_gbps"] = f64_iters * (n * n * 8) / t / 1e9
+
+    peak = device_peak_gbps(dev)
+    out["peak_gbps"] = peak
+    ach = out["ds_gbps"] if out["ds_gbps"] is not None else out["f32_gbps"]
+    out["frac"] = (ach / peak) if peak else None
+    return out
+
+
+if __name__ == "__main__":
+    import json
+
+    print(json.dumps(measure(), indent=2))
