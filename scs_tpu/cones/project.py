@@ -14,6 +14,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -169,29 +170,38 @@ def proj_cone(x: jnp.ndarray, spec: ConeSpec, cone_data: ConeData,
         seg = x[lay.pow_off:lay.pow_off + 3 * spec.psize].reshape(spec.psize, 3)
         a = jnp.asarray(np.asarray(spec.p), dtype=x.dtype)
         parts.append(power.proj_power_batch(seg, a).reshape(-1))
+    # spectral cones: equal-size contiguous runs are projected as ONE
+    # batched program (several_*-style specs previously compiled one HLO
+    # copy per cone instance, multiplying compile time)
     off = lay.d_off
-    for di in spec.d:
+    for (di, ct) in _contiguous_runs(spec.d):
         ln = di * (di + 1) // 2 + 2
-        parts.append(spectral.proj_logdet(x[off:off + ln], di,
-                                          f32_eig=psd_f32))
-        off += ln
+        seg = x[off:off + ln * ct].reshape(ct, ln)
+        parts.append(spectral.proj_logdet_batch(
+            seg, di, f32_eig=psd_f32).reshape(-1))
+        off += ln * ct
     off = lay.nuc_off
-    for mi, ni in zip(spec.nuc_m, spec.nuc_n):
+    for ((mi, ni), ct) in _contiguous_runs(list(zip(spec.nuc_m, spec.nuc_n))):
         ln = mi * ni + 1
-        parts.append(spectral.proj_nuclear(x[off:off + ln], mi, ni,
-                                           f32_eig=psd_f32))
-        off += ln
+        seg = x[off:off + ln * ct].reshape(ct, ln)
+        parts.append(jax.vmap(
+            lambda r: spectral.proj_nuclear(r, mi, ni, f32_eig=psd_f32)
+        )(seg).reshape(-1))
+        off += ln * ct
     off = lay.ell1_off
-    for ei in spec.ell1:
+    for (ei, ct) in _contiguous_runs(spec.ell1):
         ln = ei + 1
-        parts.append(spectral.proj_ell1(x[off:off + ln]))
-        off += ln
+        seg = x[off:off + ln * ct].reshape(ct, ln)
+        parts.append(jax.vmap(spectral.proj_ell1)(seg).reshape(-1))
+        off += ln * ct
     off = lay.sl_off
-    for si, ki in zip(spec.sl_n, spec.sl_k):
+    for ((si, ki), ct) in _contiguous_runs(list(zip(spec.sl_n, spec.sl_k))):
         ln = si * (si + 1) // 2 + 1
-        parts.append(spectral.proj_sum_largest_evals(
-            x[off:off + ln], si, ki, f32_eig=psd_f32))
-        off += ln
+        seg = x[off:off + ln * ct].reshape(ct, ln)
+        parts.append(jax.vmap(
+            lambda r: spectral.proj_sum_largest_evals(
+                r, si, ki, f32_eig=psd_f32))(seg).reshape(-1))
+        off += ln * ct
 
     return jnp.concatenate(parts) if parts else x, new_warm
 

@@ -316,23 +316,433 @@ def log_cone_newton(t0, v0, x0):
     return t_out, v_out, x_out
 
 
-def proj_logdet(tvX, ns: int, f32_eig: bool = False):
-    """Project [t; v; svec(X)] onto the log-determinant cone
-    cl{(t, v, X): X psd, v >= 0, -v log det(X/v) <= t}.
+# ---- accuracy gating + IPM fallback (log_cone_wrapper.c, log_cone_IPM.c) --
 
-    Port of SCS(proj_logdet_cone) (logdet_cone.c:46-150): eigh on the
-    sqrt(2)-scaled matrix, log-cone Newton on (sqrt2 t, sqrt2 v, evals),
-    spectral reconstruction.
+# wrapper tolerances (log_cone_wrapper.c:8-12)
+_LW_DUAL_FEAS_TOL = 1e-2
+_LW_PRI_FEAS_TOL = 1e-2
+_LW_COMP_TOL = 1e-2
+_LW_DUAL_T_THRESHOLD = 1e-8
+_LW_DUAL_X_THRESHOLD = 1e-8
+
+# IPM constants (log_cone_IPM.c:20-27)
+_IPM_FEASTOL = 1e-7
+_IPM_ABSTOL = 1e-7
+_IPM_RELTOL = 1e-6
+_IPM_MAX_ITER = 100
+_IPM_BETA = 0.5
+_IPM_STEP = 0.99
+_IPM_ALPHA = 0.01
+_IPM_MAX_RELAXED = 8
+_IPM_MAX_LS = 60
+
+
+def check_logdet_opt(tp, vp, xp, t0, v0, x0):
+    """KKT residuals of a candidate projection (check_opt_cond_log_cone,
+    log_cone_wrapper.c:132-204). Returns (dual_res, pri_res, comp)."""
+    n = x0.shape[0]
+    nf = jnp.asarray(n, x0.dtype)
+    dualt = tp - t0
+    dualt = jnp.where(jnp.abs(dualt) < _LW_DUAL_T_THRESHOLD,
+                      _LW_DUAL_T_THRESHOLD, dualt)
+    dualv = vp - v0
+    dualx = xp - x0
+    dualx = jnp.where(jnp.abs(dualx) < _LW_DUAL_X_THRESHOLD,
+                      _LW_DUAL_X_THRESHOLD, dualx)
+
+    comp = tp * dualt + vp * dualv + dualx @ xp
+
+    pos_p = (vp > 0) & jnp.all(xp > 0)
+    slog_xp = jnp.sum(jnp.log(jnp.where(xp > 0, xp, 1.0)))
+    slog_vp = jnp.log(jnp.where(vp > 0, vp, 1.0))
+    pri_in = -vp * (slog_xp - nf * slog_vp) - tp
+    pri_out = (vp * vp + jnp.where(tp < 0, tp * tp, 0.0)
+               + jnp.sum(jnp.where(xp < 0, xp * xp, 0.0)))
+    pri_res = jnp.where(pos_p, pri_in, pri_out)
+
+    pos_d = (dualt > 0) & jnp.all(dualx > 0)
+    slog_dx = jnp.sum(jnp.log(jnp.where(dualx > 0, dualx, 1.0)))
+    slog_dt = jnp.log(jnp.where(dualt > 0, dualt, 1.0))
+    dual_in = dualt * (nf * slog_dt - nf - slog_dx) - dualv
+    dual_out = (dualt * dualt + jnp.where(dualv < 0, dualv * dualv, 0.0)
+                + jnp.sum(jnp.where(dualx < 0, dualx * dualx, 0.0)))
+    dual_res = jnp.where(pos_d, dual_in, dual_out)
+
+    dual_norm = jnp.sqrt(dualt ** 2 + dualv ** 2 + dualx @ dualx)
+    pri_norm = jnp.sqrt(tp ** 2 + vp ** 2 + xp @ xp)
+    pn1 = jnp.maximum(pri_norm, 1.0)
+    return (dual_res / jnp.maximum(dual_norm, 1.0),
+            pri_res / pn1,
+            comp / jnp.maximum(pn1, dual_norm))
+
+
+def log_cone_ipm(t0_in, v0_in, x0_in, variant: int = 0):
+    """Primal-dual IPM projection onto the logarithmic vector cone.
+
+    Port of log_cone_IPM (log_cone_IPM.c:338-713): NLP min r subject to
+    f0 = 0.5||u1 - u0||^2 - r <= 0, f1 = -v(sum log x - n log v) - t <= 0,
+    f2 = -v <= 0, solved with a Nesterov-Todd-scaled primal-dual method,
+    Mehrotra centering + correction (variant 0) or plain damped steps
+    (variant 1), a structured O(n) KKT solve (diagonal + rank-1 G via
+    Sherman-Morrison, 3-column Woodbury, 3 refinement passes), and the
+    reference's nonmonotone ("relaxed") line search. Returns (t, v, x).
     """
-    t0 = tvX[0]
-    v0 = tvX[1]
-    M = svec_to_mat(tvX[2:], ns) * _SQRT2
+    n = x0_in.shape[0]
+    dtype = x0_in.dtype
+    nf = jnp.asarray(n, dtype)
+    r_idx = n + 2
+
+    # cone projections commute with positive scaling (log_cone_IPM.c:392-397)
+    scale1 = jnp.maximum(jnp.max(jnp.abs(x0_in)), jnp.maximum(t0_in, v0_in))
+    scale1 = jnp.maximum(scale1, 1e-100)
+    t0 = t0_in / scale1
+    v0 = v0_in / scale1
+    x0 = x0_in / scale1
+
+    def oracle(u1, r):
+        """f = (f0, f1, f2), scaled-space gradients g0, g1 (dim n+3)."""
+        du = u1 - jnp.concatenate([jnp.array([t0, v0], dtype), x0])
+        g0 = jnp.concatenate([du, jnp.array([-1.0], dtype)])
+        slog = jnp.sum(jnp.log(u1[2:])) - nf * jnp.log(u1[1])
+        f = jnp.stack([0.5 * (du @ du) - r, -u1[1] * slog - u1[0], -u1[1]])
+        g1 = jnp.concatenate([
+            jnp.array([-1.0], dtype), (nf - slog)[None],
+            -u1[1] / u1[2:], jnp.array([0.0], dtype)])
+        return f, g0, g1
+
+    def residuals(u1, r, z, s):
+        f, g0, g1 = oracle(u1, r)
+        rx = z[0] * g0 + z[1] * g1
+        rx = rx.at[1].add(-z[2]).at[r_idx].add(1.0)
+        rznl = f + s
+        return f, g0, g1, rx, rznl
+
+    def body(c):
+        (u1, r, z, s, it, done, relaxed, saved, th, norms0) = c
+        v = u1[1]
+        x = u1[2:]
+        x_inv = 1.0 / x
+        f, g0, g1, rx, rznl = residuals(u1, r, z, s)
+        gap = z @ s
+        mu = gap / 3.0
+        dres_raw = jnp.linalg.norm(rx)
+        pres_raw = jnp.linalg.norm(rznl)
+
+        first = it == 0
+        pres0 = jnp.where(first, jnp.maximum(pres_raw, 1.0), norms0[0])
+        dres0 = jnp.where(first, jnp.maximum(dres_raw, 1.0), norms0[1])
+        th1 = jnp.where(first, 1.0 / gap, th[0])
+        th2 = jnp.where(first, 1.0 / dres0, th[1])
+        th3 = jnp.where(first, 1.0 / pres0, th[2])
+
+        relgap = gap / jnp.maximum(r, 1.0)
+        done_now = ((dres_raw / dres0 < _IPM_FEASTOL)
+                    & (pres_raw / pres0 < _IPM_FEASTOL)
+                    & ((gap < _IPM_ABSTOL) | (relgap <= _IPM_RELTOL)))
+
+        w = jnp.sqrt(s / z)
+        lm = jnp.sqrt(s * z)
+        g0s = g0 / w[0]
+        g1s = g1 / w[1]
+
+        # ---- structured KKT factor (KKT_precompute, :149-200) ----
+        temp1 = z[0] + z[1] * v * x_inv * x_inv
+        temp2 = x_inv / temp1
+        a_coef = z[0] + 1.0 / (w[2] * w[2]) + z[1] * nf / v
+        coeff = a_coef - z[1] ** 2 * ((x_inv * x_inv / temp1).sum())
+
+        def Ginv(b):
+            y1 = (b[1] + z[1] * (b[2:r_idx] @ temp2)) / coeff
+            yx = (b[2:r_idx] + z[1] * y1 * x_inv) / temp1
+            return jnp.concatenate([
+                (b[0] / z[0])[None], y1[None], yx, (-b[r_idx])[None]])
+
+        GinvC0 = Ginv(g0s)
+        GinvC1 = Ginv(g1s)
+        R00 = 1.0 + g0s @ GinvC0
+        R01 = g0s @ GinvC1
+        R02 = -g0s[r_idx]
+        R10 = g1s @ GinvC0
+        R11 = 1.0 + g1s @ GinvC1
+        R20 = GinvC0[r_idx]
+
+        def Gapply(du):
+            d0 = z[0] * du[0]
+            d1 = ((z[0] + 1.0 / (w[2] * w[2])) * du[1]
+                  + z[1] * (nf / v * du[1] - x_inv @ du[2:r_idx]))
+            dx = (z[0] * du[2:r_idx]
+                  + z[1] * (-du[1] * x_inv + v * du[2:r_idx] * x_inv * x_inv))
+            return jnp.concatenate([d0[None], d1[None], dx, (-du[r_idx])[None]])
+
+        def CCT(du):
+            c0 = g0s @ du
+            c1 = g1s @ du
+            out = c0 * g0s + c1 * g1s
+            return out.at[r_idx].add(du[r_idx]), c0, c1
+
+        def kkt_solve(rhs1, rhs2):
+            """rhs1 (n+6,) = [-rx; -rznl]-style; rhs2 (3,). Returns
+            (du1, dr, dz, ds) (KKT_solve, :202-331)."""
+            tail = rhs1[r_idx + 1:] - w * (rhs2 / lm)
+            bnew = (rhs1[:r_idx + 1] + (tail[0] / w[0]) * g0s
+                    + (tail[1] / w[1]) * g1s)
+            bnew = bnew.at[1].add(-tail[2] / (w[2] * w[2]))
+            du = jnp.zeros((n + 3,), dtype)
+            residual = bnew
+            for _ in range(3):
+                GinvRes = Ginv(residual)
+                CT0 = g0s @ GinvRes
+                CT1 = g1s @ GinvRes
+                CT2 = GinvRes[r_idx]
+                q0 = CT2 / R20
+                q1 = (CT1 - R10 * q0) / R11
+                q2 = (CT0 - R00 * q0 - R01 * q1) / R02
+                d = GinvRes - q0 * GinvC0 - q1 * GinvC1
+                d = d.at[r_idx].add(q2)
+                du = du + d
+                cct, _, _ = CCT(du)
+                residual = bnew - (Gapply(du) + cct)
+            _, c0, c1 = CCT(du)
+            dz = tail
+            dz = dz.at[0].add(-w[0] * c0).at[1].add(-w[1] * c1)
+            dz = dz.at[2].add(du[1])
+            dz = -dz / (w * w)
+            ds = w * (rhs2 / lm - w * dz)
+            return du[:r_idx], du[r_idx], dz, ds
+
+        def max_step(du1, dz, ds):
+            """find_max_step_size (:90-126)."""
+            sm = jnp.minimum(
+                jnp.min(jnp.where(dz < 0, -z / jnp.where(dz < 0, dz, -1.0),
+                                  10.0)),
+                jnp.min(jnp.where(ds < 0, -s / jnp.where(ds < 0, ds, -1.0),
+                                  10.0)))
+            sm = jnp.minimum(sm, 10.0)
+            pos = u1[1:r_idx]
+            dpos = du1[1:r_idx]
+            dom = jnp.min(jnp.where(dpos < 0,
+                                    -pos / jnp.where(dpos < 0, dpos, -1.0),
+                                    10.0))
+            step = jnp.minimum(1.0, _IPM_STEP * sm)
+
+            def halve_cond(st):
+                return st > dom
+
+            step = jax.lax.while_loop(halve_cond, lambda st: st * _IPM_BETA,
+                                      step)
+            return step
+
+        def merit(u1_n, r_n, z_n, s_n):
+            _, _, _, rx_n, rznl_n = residuals(u1_n, r_n, z_n, s_n)
+            gap_n = z_n @ s_n
+            phi_n = (th1 * gap_n + th2 * jnp.linalg.norm(rx_n)
+                     + th3 * jnp.linalg.norm(rznl_n))
+            return phi_n, gap_n
+
+        phi = th1 * gap + th2 * dres_raw + th3 * pres_raw
+        dphi = -phi  # sigma = 0 at this point (log_cone_IPM.c:559-564)
+
+        rhs1_aff = jnp.concatenate([-rx, -rznl])
+        rhs2_aff = -(lm * lm)
+
+        # ---- affine pass: direction + centering parameter (j = 0) ----
+        du1_a, dr_a, dz_a, ds_a = kkt_solve(rhs1_aff, rhs2_aff)
+        step_a0 = max_step(du1_a, dz_a, ds_a)
+
+        def aff_ls_cond(cst):
+            step, k, ok = cst
+            return (~ok) & (k < _IPM_MAX_LS)
+
+        def aff_ls_body(cst):
+            step, k, _ = cst
+            phi_n, _ = merit(u1 + step * du1_a, r + step * dr_a,
+                             z + step * dz_a, s + step * ds_a)
+            ok = phi_n <= (1.0 - _IPM_ALPHA * step) * phi
+            return (jnp.where(ok, step, step * _IPM_BETA), k + 1, ok)
+
+        step_a, _, _ = jax.lax.while_loop(
+            aff_ls_cond, aff_ls_body,
+            (step_a0, jnp.asarray(0), jnp.zeros((), bool)))
+        _, gap_a = merit(u1 + step_a * du1_a, r + step_a * dr_a,
+                         z + step_a * dz_a, s + step_a * ds_a)
+        sigma = gap_a / gap
+        sigma = jnp.where(sigma < 1.0, sigma ** 3, sigma)
+
+        # ---- corrector / search direction (j = 1) ----
+        if variant == 0:
+            rhs1_c = (1.0 - sigma) * rhs1_aff
+            rhs2_c = rhs2_aff + (sigma * mu - ds_a * dz_a)
+        else:
+            rhs1_c = rhs1_aff
+            rhs2_c = rhs2_aff
+        du1_c, dr_c, dz_c, ds_c = kkt_solve(rhs1_c, rhs2_c)
+        step_c0 = max_step(du1_c, dz_c, ds_c)
+
+        # ---- nonmonotone line search (log_cone_IPM.c:640-692) ----
+        # LS carry: iterate+direction can be RESTORED mid-search when the
+        # relaxed window closes, so they ride in the carry.
+        (s_u1_0, s_r0, s_z0, s_s0, s_du1, s_dr, s_dz, s_ds,
+         s_phi0, s_dphi0, s_step0) = saved
+
+        def ls_body(cst):
+            (step, rel, cu1, cr, cz, cs_, cdu1, cdr, cdz, cds,
+             cphi, cdphi, sv, k, bt) = cst
+            u1_n = cu1 + step * cdu1
+            r_n = cr + step * cdr
+            z_n = cz + step * cdz
+            s_n = cs_ + step * cds
+            phi_n, _ = merit(u1_n, r_n, z_n, s_n)
+            (sv_u1, sv_r, sv_z, sv_s, sv_du1, sv_dr, sv_dz, sv_ds,
+             sv_phi, sv_dphi, sv_step) = sv
+
+            armijo = phi_n <= cphi + _IPM_ALPHA * step * cdphi
+            armijo0 = phi_n <= sv_phi + _IPM_ALPHA * sv_step * sv_dphi
+
+            plain = rel == -1
+            fresh = rel == 0
+            at_max = rel == _IPM_MAX_RELAXED
+            mid = (rel > 0) & (rel < _IPM_MAX_RELAXED)
+
+            # plain backtracking (relaxed == -1)
+            step_next = jnp.where(plain & ~armijo, step * _IPM_BETA, step)
+            bt_next = jnp.where(plain, ~armijo, bt)
+
+            # fresh (relaxed == 0): accept; open window on failure
+            open_win = fresh & ~armijo
+            rel_next = jnp.where(open_win, 1, rel)
+            bt_next = jnp.where(fresh, False, bt_next)
+            sv_next = jax.tree.map(
+                lambda new, old: jnp.where(open_win, new, old),
+                (cu1, cr, cz, cs_, cdu1, cdr, cdz, cds, cphi, cdphi, step),
+                sv)
+
+            # mid-window: close on success, extend on failure; accept
+            rel_next = jnp.where(mid & armijo0, 0,
+                                 jnp.where(mid & ~armijo0, rel + 1, rel_next))
+            bt_next = jnp.where(mid, False, bt_next)
+
+            # window exhausted: success accepts; failure RESTORES the
+            # saved iterate + direction and drops to plain backtracking
+            restore = at_max & ~armijo0
+            bt_next = jnp.where(at_max, restore, bt_next)
+            rel_next = jnp.where(restore, -1, rel_next)
+            (cu1, cr, cz, cs_, cdu1, cdr, cdz, cds, cphi, cdphi,
+             step_next) = jax.tree.map(
+                lambda old_v, sv_v: jnp.where(restore, sv_v, old_v),
+                (cu1, cr, cz, cs_, cdu1, cdr, cdz, cds, cphi, cdphi,
+                 step_next),
+                sv)
+
+            return (step_next, rel_next, cu1, cr, cz, cs_, cdu1, cdr,
+                    cdz, cds, cphi, cdphi, sv_next, k + 1, bt_next)
+
+        def ls_cond(cst):
+            k = cst[13]
+            bt = cst[14]
+            return bt & (k < _IPM_MAX_LS)
+
+        ls0 = (step_c0, relaxed, u1, r, z, s, du1_c, dr_c, dz_c, ds_c,
+               phi, dphi,
+               (s_u1_0, s_r0, s_z0, s_s0, s_du1, s_dr, s_dz, s_ds,
+                s_phi0, s_dphi0, s_step0),
+               jnp.asarray(0), jnp.ones((), bool))
+        ls = jax.lax.while_loop(ls_cond, ls_body, ls0)
+        (step_f, rel_f, fu1, fr, fz, fs, fdu1, fdr, fdz, fds,
+         _, _, sv_f, _, _) = ls
+
+        u1_new = fu1 + step_f * fdu1
+        r_new = fr + step_f * fdr
+        z_new = fz + step_f * fdz
+        s_new = fs + step_f * fds
+
+        # freeze the state once converged
+        keep = done | done_now
+        u1_out = jnp.where(keep, u1, u1_new)
+        r_out = jnp.where(keep, r, r_new)
+        z_out = jnp.where(keep, z, z_new)
+        s_out = jnp.where(keep, s, s_new)
+        return (u1_out, r_out, z_out, s_out, it + 1, keep, rel_f, sv_f,
+                jnp.stack([th1, th2, th3]), jnp.stack([pres0, dres0]))
+
+    def cond(c):
+        it, done = c[4], c[5]
+        return (it < _IPM_MAX_ITER) & ~done
+
+    u1_0 = jnp.ones((n + 2,), dtype)
+    z0 = jnp.ones((3,), dtype)
+    s0 = jnp.ones((3,), dtype)
+    saved0 = (u1_0, jnp.zeros((), dtype), z0, s0,
+              jnp.zeros((n + 2,), dtype), jnp.zeros((), dtype),
+              jnp.zeros((3,), dtype), jnp.zeros((3,), dtype),
+              jnp.zeros((), dtype), jnp.zeros((), dtype),
+              jnp.zeros((), dtype))
+    init = (u1_0, jnp.zeros((), dtype), z0, s0, jnp.asarray(0),
+            jnp.zeros((), bool), jnp.asarray(0), saved0,
+            jnp.ones((3,), dtype), jnp.ones((2,), dtype))
+    u1_f, *_ = jax.lax.while_loop(cond, body, init)
+    u1_f = u1_f * scale1
+    return u1_f[0], u1_f[1], u1_f[2:]
+
+
+def proj_logdet_batch(seg, ns: int, f32_eig: bool = False):
+    """Project a (ct, tri+2) batch of same-size logdet cones.
+
+    Full reference cascade (log_cone_proj_wrapper, log_cone_wrapper.c:47-129):
+    batched eigh -> vmapped damped Newton -> KKT-residual gating -> IPM
+    variant 0 -> IPM variant 1, per lane. The IPM legs are behind a scalar
+    any-lane cond so the (rare) fallback costs nothing when Newton
+    converges — which it does on all non-pathological inputs.
+    """
+    ct = seg.shape[0]
+    dtype = seg.dtype
+    t0 = seg[:, 0] * _SQRT2
+    v0 = seg[:, 1] * _SQRT2
+    M = jax.vmap(lambda r: svec_to_mat(r, ns))(seg[:, 2:]) * _SQRT2
     if f32_eig:
         M = M.astype(jnp.float32)
     w, V = jnp.linalg.eigh(M)
-    w, V = w.astype(tvX.dtype), V.astype(tvX.dtype)
-    t_p, v_p, w_p = log_cone_newton(t0 * _SQRT2, v0 * _SQRT2, w)
-    w_p = jnp.maximum(w_p, 0.0)
-    Mp = (V * w_p[None, :]) @ V.T / _SQRT2
-    return jnp.concatenate([(t_p / _SQRT2)[None], (v_p / _SQRT2)[None],
-                            mat_to_svec(Mp, ns)])
+    w, V = w.astype(dtype), V.astype(dtype)
+
+    t_n, v_n, x_n = jax.vmap(log_cone_newton)(t0, v0, w)
+
+    def gate(tp, vp, xp):
+        d, p, cm = jax.vmap(check_logdet_opt)(tp, vp, xp, t0, v0, w)
+        return ((tp >= t0 - 0.1 * jnp.abs(t0))
+                & (d < _LW_DUAL_FEAS_TOL) & (p < _LW_PRI_FEAS_TOL)
+                & (jnp.abs(cm) < _LW_COMP_TOL))
+
+    ok = gate(t_n, v_n, x_n)
+
+    def ipm_cascade(args):
+        tp, vp, xp, ok = args
+        for variant in (0, 1):
+            ti, vi, xi = jax.vmap(
+                lambda a, b, c: log_cone_ipm(a, b, c, variant))(t0, v0, w)
+            ok_i = gate(ti, vi, xi)
+            take = ~ok & ok_i
+            tp = jnp.where(take, ti, tp)
+            vp = jnp.where(take, vi, vp)
+            xp = jnp.where(take[:, None], xi, xp)
+            ok = ok | ok_i
+        return tp, vp, xp, ok
+
+    t_p, v_p, x_p, _ = jax.lax.cond(
+        jnp.all(ok), lambda a: a, ipm_cascade, (t_n, v_n, x_n, ok))
+
+    x_p = jnp.maximum(x_p, 0.0)
+    Mp = jnp.einsum("bij,bj,bkj->bik", V, x_p, V,
+                    precision=jax.lax.Precision.HIGHEST) / _SQRT2
+    sv = jax.vmap(lambda Mi: mat_to_svec(Mi, ns))(Mp)
+    return jnp.concatenate(
+        [(t_p / _SQRT2)[:, None], (v_p / _SQRT2)[:, None], sv], axis=1)
+
+
+def proj_logdet(tvX, ns: int, f32_eig: bool = False):
+    """Project [t; v; svec(X)] onto the log-determinant cone
+    cl{(t, v, X): X psd, v >= 0, -v log det(X/v) >= -t}.
+
+    Port of SCS(proj_logdet_cone) (logdet_cone.c:46-150) with the full
+    Newton -> IPM accuracy cascade. Single-cone convenience wrapper over
+    proj_logdet_batch.
+    """
+    return proj_logdet_batch(tvX[None, :], ns, f32_eig=f32_eig)[0]

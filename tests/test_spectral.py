@@ -191,3 +191,117 @@ def test_solve_with_logdet_cone():
     sol, info = scs_tpu.solve(p.problem, spec, p.cone_data,
                               Settings(max_iters=20000))
     assert info.status_val == config.SOLVED, info.status
+
+
+def test_log_cone_ipm_direct():
+    """The IPM must solve projections to KKT tolerance standalone (it is
+    the accuracy fallback; log_cone_IPM.c:338-713)."""
+    rng = np.random.RandomState(7)
+    for variant in (0, 1):
+        for trial in range(4):
+            n = 6
+            t0 = rng.uniform(-2, 2)
+            v0 = rng.uniform(-1, 2)
+            x0 = rng.uniform(-1, 3, n)
+            t, v, x = spectral.log_cone_ipm(
+                jnp.asarray(t0, F64), jnp.asarray(v0, F64),
+                jnp.asarray(x0, F64), variant)
+            d, p, c = spectral.check_logdet_opt(
+                t, v, x, jnp.asarray(t0, F64), jnp.asarray(v0, F64),
+                jnp.asarray(x0, F64))
+            assert float(d) < 1e-2, (variant, trial, float(d))
+            assert float(p) < 1e-2, (variant, trial, float(p))
+            assert abs(float(c)) < 1e-2, (variant, trial, float(c))
+
+
+def test_logdet_newton_hostile_cascade():
+    """Inputs engineered against the damped Newton (near-boundary v,
+    huge eigenvalue dynamic range): the gated Newton->IPM cascade must
+    still return a KKT-certified projection (log_cone_wrapper.c:47-129).
+    """
+    # found by random search: each point makes the damped Newton fail the
+    # KKT gate (wrong stationary point / t-decrease), and the IPM passes
+    hostile = [
+        (5.082435488032196e-10, 8.506457308922922e-09,
+         np.array([-4.272511074887552e-3, 1612.5766570104993,
+                   2.3962479578326507e-4, 9659001.88718107,
+                   -309.40364380125715])),
+        (-9.729386358385083, -25.941608729540086,
+         np.array([-81.77037740049792, 1.4700323254063617e-7,
+                   -96.17041026133768, -0.07302622673869442,
+                   -8.051350943583813e-4])),
+        (-3281893.3130367114, -7.248027788642238e-5,
+         np.array([-2.4764898646901777e-6, -419731.503938163,
+                   9.83056199446518e-8, -0.035495933924680104,
+                   -62266663.29480791])),
+        (1726.0136109153, 6.4521160066250675e-12,
+         np.array([-1.8278247468388985e-6, 1.4778584650322195e-9,
+                   -8.621994661897662e-6, -123447.69360212852,
+                   8.872849472327973e-10])),
+    ]
+    any_newton_fail = False
+    for t0, v0, x0 in hostile:
+        tvx = np.concatenate([[t0], [v0], x0])
+        t, v, x = jnp.asarray(t0, F64), jnp.asarray(v0, F64), jnp.asarray(
+            x0, F64)
+        tn, vn, xn = spectral.log_cone_newton(t, v, x)
+        dn, pn, cn = map(float,
+                         spectral.check_logdet_opt(tn, vn, xn, t, v, x))
+        newton_ok = ((float(tn) >= t0 - 0.1 * abs(t0)) and dn < 1e-2
+                     and pn < 1e-2 and abs(cn) < 1e-2)
+        any_newton_fail |= not newton_ok
+        # cascade (batch of 1 through the vector-cone path)
+        seg = jnp.asarray(tvx, F64)
+        tc, vc, xc = _logdet_vector_cascade(seg)
+        d, p, c = map(float, spectral.check_logdet_opt(tc, vc, xc, t, v, x))
+        assert d < 1e-2 and p < 1e-2 and abs(c) < 1e-2, (t0, v0, d, p, c)
+    # the fallback must be doing real work: Newton alone fails at least
+    # one of these (else the test is vacuous)
+    assert any_newton_fail
+
+
+def _logdet_vector_cascade(seg):
+    """Newton -> IPM cascade on the VECTOR cone (no eigh), mirroring
+    proj_logdet_batch's gating."""
+    t0, v0, x0 = seg[0], seg[1], seg[2:]
+    tn, vn, xn = spectral.log_cone_newton(t0, v0, x0)
+
+    def gate(tp, vp, xp):
+        d, p, c = spectral.check_logdet_opt(tp, vp, xp, t0, v0, x0)
+        return ((tp >= t0 - 0.1 * jnp.abs(t0)) & (d < 1e-2) & (p < 1e-2)
+                & (jnp.abs(c) < 1e-2))
+
+    ok = gate(tn, vn, xn)
+    tp, vp, xp = tn, vn, xn
+    for variant in (0, 1):
+        ti, vi, xi = spectral.log_cone_ipm(t0, v0, x0, variant)
+        take = ~ok & gate(ti, vi, xi)
+        tp = jnp.where(take, ti, tp)
+        vp = jnp.where(take, vi, vp)
+        xp = jnp.where(take, xi, xp)
+        ok = ok | gate(ti, vi, xi)
+    return tp, vp, xp
+
+
+def test_logdet_batch_matches_single():
+    """proj_logdet_batch on a stack == per-cone projections."""
+    rng = np.random.RandomState(9)
+    ns, ct = 4, 3
+    tri = ns * (ns + 1) // 2
+    segs = rng.randn(ct, tri + 2)
+    batch = np.asarray(spectral.proj_logdet_batch(jnp.asarray(segs, F64), ns))
+    for i in range(ct):
+        single = np.asarray(
+            spectral.proj_logdet(jnp.asarray(segs[i], F64), ns))
+        np.testing.assert_allclose(batch[i], single, atol=1e-10)
+
+
+def test_solve_with_several_logdet_cones():
+    """several_logdet_cones-style spec: multiple same-size logdet cones in
+    one problem compile as ONE batched program and solve."""
+    spec = ConeSpec(l=6, d=(3, 3))
+    p = gen_planted(spec, n=8, seed=33)
+    sol, info = scs_tpu.solve(p.problem, spec, p.cone_data,
+                              Settings(eps_abs=1e-5, eps_rel=1e-5))
+    assert info.status_val == config.SOLVED
+    assert abs(info.pobj - p.opt) < 1e-3 * (1 + abs(p.opt))
