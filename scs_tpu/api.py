@@ -24,8 +24,9 @@ from .equilibrate import (equilibrate, identity_scaling, normalize_b_c,
                           normalize_xys, unnormalize_xys)
 from .linsys import (Mats, get_backend, prepare_operands,
                      resolve_mixed)
-from .solver import (LoopState, ProblemData, Residuals,
-                     make_runner, populate_residuals, set_diag_r)
+from .solver import (TRACE_COLUMNS, LoopState, ProblemData, Residuals,
+                     make_runner, make_trace_runner, populate_residuals,
+                     set_diag_r)
 from .types import ConeData, ConeSpec, Info, Problem, Settings, Solution
 from .validation import ValidationError, validate
 
@@ -37,6 +38,7 @@ def _compile_key(stg: Settings) -> Settings:
     return dataclasses.replace(
         stg, verbose=False, warm_start=False, time_limit_secs=0.0,
         write_data_filename=None, log_csv_filename=None,
+        profile_phases=False,
         eps_abs=config.EPS_ABS, eps_rel=config.EPS_REL,
         eps_infeas=config.EPS_INFEAS, alpha=config.ALPHA)
 
@@ -44,6 +46,11 @@ def _compile_key(stg: Settings) -> Settings:
 @functools.lru_cache(maxsize=64)
 def _cached_runner(spec: ConeSpec, stg: Settings):
     return make_runner(spec, stg)
+
+
+@functools.lru_cache(maxsize=16)
+def _cached_trace_runner(spec: ConeSpec, stg: Settings, chunk: int):
+    return make_trace_runner(spec, stg, trace_chunk=chunk)
 
 
 @functools.lru_cache(maxsize=64)
@@ -58,30 +65,31 @@ def _cached_finalizer(spec: ConeSpec):
 class _CsvTrace:
     """Per-iteration CSV trace (log_data_to_csv analog, rw.c:707-861).
 
-    Column subset of the reference's ~60: everything observable from the
-    on-device residual snapshot plus the AA / scale diagnostics.
+    Full reference column set (solver.TRACE_COLUMNS), produced by the
+    on-device ring buffer: the trace runner returns a (chunk, NCOL) array
+    per dispatch, so tracing costs one dispatch per `chunk` iterations
+    instead of one per iteration (the reference logs per-iteration and is
+    "very slow", scs.h:99-100; the spirit — every iteration logged — is
+    preserved). `time` is the chunk-end wall clock, shared by the chunk's
+    rows.
     """
 
-    COLUMNS = ("iter,res_pri,res_dual,gap,res_infeas,res_unbdd_a,"
-               "res_unbdd_p,pobj,dobj,tau,kap,scale,scale_updates,"
-               "aa_norm,accepted_accel_steps,rejected_accel_steps,"
-               "tot_cg_its,time_s")
+    COLUMNS = ",".join(TRACE_COLUMNS) + ",time"
 
     def __init__(self, filename: str):
         self._f = open(filename, "w")
         self._f.write(self.COLUMNS + "\n")
+        self._last_iter = -1
 
-    def row(self, st: LoopState, r: Residuals, elapsed_s: float) -> None:
-        # one device->host transfer for the whole row (scalars pulled
-        # individually would each round-trip to the device)
-        vals = jax.device_get(
-            (st.iter, r.res_pri, r.res_dual, r.gap, r.res_infeas,
-             r.res_unbdd_a, r.res_unbdd_p, r.pobj, r.dobj, r.tau, r.kap,
-             st.scale, st.scale_updates, st.aa_norm, st.accepted_accel,
-             st.rejected_accel, st.tot_cg_its))
-        out = [repr(np.asarray(v).item()) for v in vals]
-        out.append(repr(elapsed_s))
-        self._f.write(",".join(out) + "\n")
+    def write_rows(self, rows, elapsed_s: float) -> None:
+        rows = np.asarray(rows)  # one device->host pull per chunk
+        for row in rows:
+            it = int(row[0])
+            if it <= self._last_iter:
+                continue  # post-termination idempotent step
+            self._last_iter = it
+            self._f.write(",".join(repr(float(v)) for v in row)
+                          + f",{elapsed_s!r}\n")
 
     def close(self) -> None:
         self._f.close()
@@ -109,7 +117,11 @@ class Workspace:
         self.backend = get_backend(stg.linsys)
         self._mixed = resolve_mixed(stg)
 
-        A = jnp.asarray(problem.A, dtype)
+        from .ops.sparse import is_sparse
+        if is_sparse(problem.A):
+            A = problem.A.astype(dtype)
+        else:
+            A = jnp.asarray(problem.A, dtype)
         P = None if problem.P is None else jnp.asarray(problem.P, dtype)
         m, n = A.shape
         self.m, self.n = m, n
@@ -166,6 +178,10 @@ class Workspace:
         self._finalizer = _cached_finalizer(spec)
 
         if stg.write_data_filename:
+            if is_sparse(A):
+                raise ValidationError(
+                    "write_data_filename requires dense A (the SCS "
+                    "interchange format densifies through the codec)")
             from .io import write_scs_data
             write_scs_data(stg.write_data_filename,
                            Problem(A=A, b=b_orig, c=c_orig, P=P),
@@ -193,6 +209,27 @@ class Workspace:
         else:
             bad = bool(jnp.any(factor <= 0.0)
                        | jnp.any(~jnp.isfinite(factor)))
+            # The Jacobi-diagonal test is necessary but not sufficient: an
+            # indefinite P with positive diagonal sails through and CG
+            # silently misconverges. Probe the spectrum directly (the
+            # factorization-inertia analog the direct backends get for
+            # free; reference: linsys/cpu/direct/private.c:62-71,
+            # mkl/direct/private.c:157-161). Congruence (E P E) preserves
+            # inertia, so the normalized P is equivalent.
+            P = self.data.P
+            if not bad and P is not None:
+                if P.shape[0] <= 4096:
+                    lam_min = float(jnp.min(jnp.linalg.eigvalsh(P)))
+                else:  # subspace probe at scale
+                    from jax.experimental.sparse.linalg import \
+                        lobpcg_standard
+                    k = 8
+                    rng = np.random.RandomState(0)
+                    X0 = jnp.asarray(rng.randn(P.shape[0], k), P.dtype)
+                    theta, _, _ = lobpcg_standard(lambda x: -P @ x, X0, m=50)
+                    lam_min = -float(jnp.max(theta))
+                scale_ref = max(1.0, float(jnp.max(jnp.abs(P))))
+                bad = lam_min < -1e-8 * scale_ref
         if bad:
             raise ValidationError(
                 "non-convexity detected: the KKT Schur complement is not "
@@ -293,7 +330,10 @@ class Workspace:
         if stg.verbose:
             chunk = min(chunk, config.PRINT_INTERVAL)
         if csv is not None:
-            chunk = 1  # per-iteration trace ("makes SCS very slow", scs.h:99)
+            # on-device ring buffer: one dispatch per CONVERGED_INTERVAL
+            # iterations, every iteration logged (the reference dispatches
+            # host work per iteration here; scs.h:99-100)
+            chunk = config.CONVERGED_INTERVAL
         if checkpoint_file and checkpoint_every > 0:
             chunk = min(chunk, max(checkpoint_every,
                                    config.CONVERGED_INTERVAL))
@@ -316,6 +356,7 @@ class Workspace:
             phases = [(self._runner, self.data)]
 
         polished = False
+        cur_key = _compile_key(stg)
         try:
             for phase_idx, (runner, data) in enumerate(phases):
                 if phase_idx > 0:
@@ -323,8 +364,8 @@ class Workspace:
                     if not proceed:
                         break
                     polished = True
-                    runner = _cached_runner(self.spec,
-                                            _compile_key(self._polish_stg))
+                    cur_key = _compile_key(self._polish_stg)
+                    runner = _cached_runner(self.spec, cur_key)
                 while True:
                     it, status = map(int,
                                      jax.device_get((st.iter, st.status)))
@@ -335,15 +376,18 @@ class Workspace:
                         time_limit_reached = True
                         break
                     cap = min(it + chunk, max_iters)
-                    st = runner(data, st, jnp.asarray(cap, jnp.int32))
+                    if csv is not None:
+                        st, rows = _cached_trace_runner(
+                            self.spec, cur_key, chunk)(
+                                data, st, jnp.asarray(cap, jnp.int32))
+                        csv.write_rows(rows, time.perf_counter() - t0)
+                    else:
+                        st = runner(data, st, jnp.asarray(cap, jnp.int32))
                     if (checkpoint_file and next_ckpt is not None
                             and cap >= next_ckpt):
                         from .io import save_state
                         save_state(checkpoint_file, st)
                         next_ckpt = cap + checkpoint_every
-                    if csv is not None:
-                        r = self._finalizer(self.data, st.u, st.rsk, st.iter)
-                        csv.row(st, r, time.perf_counter() - t0)
                     if stg.verbose:
                         self._print_progress(st, time.perf_counter() - t0)
                 if time_limit_reached:
@@ -359,6 +403,18 @@ class Workspace:
         solution, info = self._finalize(st, time_limit_reached, interrupted)
         info.solve_time = solve_ms
         info.setup_time = self.setup_time_ms
+        if stg.profile_phases:
+            # per-phase attribution (scs.c:1380-1393 accumulates around
+            # each phase call; here phases fuse into one XLA program, so
+            # attribute via standalone per-phase ms x call counts)
+            if getattr(self, "_phase_ms", None) is None:
+                self._phase_ms = self.profile(n_calls=5)
+            pm = self._phase_ms
+            n_lin = info.iter + 1 + info.scale_updates
+            info.lin_sys_time = pm["lin_sys_time_ms"] * n_lin
+            info.cone_time = pm["cone_time_ms"] * info.iter
+            info.accel_time = pm["accel_time_ms"] * (
+                info.iter // max(stg.acceleration_interval, 1))
         # persist adapted scale / diag_r for subsequent warm solves
         self.scale = float(st.scale)
         self.diag_r = st.diag_r

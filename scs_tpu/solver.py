@@ -561,3 +561,147 @@ def make_runner(spec: ConeSpec, stg: Settings):
     """Build the jitted chunked runner: run until status != 0, iter cap, or
     chunk boundary (host checks time limit / prints between chunks)."""
     return jax.jit(make_loop(spec, stg))
+
+
+# ---------------------------------------------------------------------------
+# per-iteration trace (log_data_to_csv analog, rw.c:707-861)
+
+# Column set mirrors the reference's ~60 columns: both the original-space
+# ("") and normalized-space ("_normalized") residual families, iterate
+# norms, objective terms, AA/scale diagnostics. The spectral-timing
+# columns (rw.c SPECTRAL_TIMING) are reported as NaN. `time` is appended
+# host-side per chunk.
+TRACE_COLUMNS = (
+    "iter", "res_pri", "res_dual", "gap",
+    "x_nrm_inf", "y_nrm_inf", "s_nrm_inf",
+    "x_nrm_2", "y_nrm_2", "s_nrm_2",
+    "x_nrm_inf_normalized", "y_nrm_inf_normalized", "s_nrm_inf_normalized",
+    "x_nrm_2_normalized", "y_nrm_2_normalized", "s_nrm_2_normalized",
+    "ax_s_btau_nrm_inf", "px_aty_ctau_nrm_inf",
+    "ax_s_btau_nrm_2", "px_aty_ctau_nrm_2",
+    "res_infeas", "res_unbdd_a", "res_unbdd_p",
+    "pobj", "dobj", "tau", "kap",
+    "res_pri_normalized", "res_dual_normalized", "gap_normalized",
+    "ax_s_btau_nrm_inf_normalized", "px_aty_ctau_nrm_inf_normalized",
+    "ax_s_btau_nrm_2_normalized", "px_aty_ctau_nrm_2_normalized",
+    "res_infeas_normalized", "res_unbdd_a_normalized",
+    "res_unbdd_p_normalized", "pobj_normalized", "dobj_normalized",
+    "tau_normalized", "kap_normalized",
+    "ax_nrm_inf", "ax_s_nrm_inf", "px_nrm_inf", "aty_nrm_inf",
+    "xt_p_x", "xt_p_x_tau", "ctx", "ctx_tau", "bty", "bty_tau",
+    "b_nrm_inf", "c_nrm_inf", "scale",
+    "diff_u_ut_nrm_2", "diff_v_v_prev_nrm_2",
+    "diff_u_ut_nrm_inf", "diff_v_v_prev_nrm_inf",
+    "aa_norm", "accepted_accel_steps", "rejected_accel_steps",
+    "tot_cg_its", "scale_updates",
+    "res_dual_spectral", "res_pri_spectral", "comp_spectral",
+)
+
+
+def trace_row(data: ProblemData, spec: ConeSpec, st: LoopState) -> jax.Array:
+    """One (len(TRACE_COLUMNS),) row of trace values for the current state."""
+    from .equilibrate import unnormalize_xys
+
+    m, n = data.A.shape
+    dtype = st.u.dtype
+    u, rsk = st.u, st.rsk
+    x_n = u[:n]
+    y_n = u[n:n + m]
+    s_n = rsk[n:n + m]
+    tau = jnp.abs(u[n + m])
+    kap = jnp.abs(rsk[n + m])
+
+    # original-space residual snapshot (memoized scalars)
+    r = populate_residuals(data, spec, u, rsk, st.iter)
+
+    # normalized-space quantities
+    ax = data.A @ x_n
+    s_v = s_n
+    ax_s = ax + s_v
+    ax_s_btau = ax_s - tau * data.b
+    if data.P is not None:
+        px = data.P @ x_n
+        xt_p_x_tau_nm = px @ x_n
+    else:
+        px = jnp.zeros((n,), dtype)
+        xt_p_x_tau_nm = jnp.zeros((), dtype)
+    aty = data.A.T @ y_n
+    px_aty_ctau = px + aty + tau * data.c
+    bty_tau_nm = y_n @ data.b
+    ctx_tau_nm = x_n @ data.c
+    bty_nm = _safediv_pos(bty_tau_nm, tau)
+    ctx_nm = _safediv_pos(ctx_tau_nm, tau)
+    xpx_nm = _safediv_pos(xt_p_x_tau_nm, tau * tau)
+    nan = jnp.asarray(jnp.nan, dtype)
+    tol = config.INFEAS_NEGATIVITY_TOL
+    res_unbdd_a_nm = jnp.where(ctx_tau_nm < -tol,
+                               _safediv_pos(_norm_inf(ax_s), -ctx_tau_nm),
+                               nan)
+    res_unbdd_p_nm = jnp.where(ctx_tau_nm < -tol,
+                               _safediv_pos(_norm_inf(px), -ctx_tau_nm), nan)
+    res_infeas_nm = jnp.where(bty_tau_nm < -tol,
+                              _safediv_pos(_norm_inf(aty), -bty_tau_nm), nan)
+
+    # original-space iterates
+    x_o, y_o, s_o = unnormalize_xys(data.scal, x_n, y_n, s_n)
+    x_o, y_o, s_o = x_o / jnp.maximum(tau, config.DIV_EPS_TOL), \
+        y_o / jnp.maximum(tau, config.DIV_EPS_TOL), \
+        s_o / jnp.maximum(tau, config.DIV_EPS_TOL)
+    pd = data.scal.primal_scale * data.scal.dual_scale
+    fac_m = 1.0 / (data.scal.D * data.scal.dual_scale)
+    fac_n = 1.0 / (data.scal.E * data.scal.primal_scale)
+
+    vals = [
+        st.iter.astype(dtype), r.res_pri, r.res_dual, r.gap,
+        _norm_inf(x_o), _norm_inf(y_o), _norm_inf(s_o),
+        jnp.linalg.norm(x_o), jnp.linalg.norm(y_o), jnp.linalg.norm(s_o),
+        _norm_inf(x_n), _norm_inf(y_n), _norm_inf(s_n),
+        jnp.linalg.norm(x_n), jnp.linalg.norm(y_n), jnp.linalg.norm(s_n),
+        r.nm_ax_s_btau, r.nm_px_aty_ctau,
+        jnp.linalg.norm(ax_s_btau * fac_m), jnp.linalg.norm(px_aty_ctau * fac_n),
+        r.res_infeas, r.res_unbdd_a, r.res_unbdd_p,
+        r.pobj, r.dobj, r.tau, r.kap,
+        _safediv_pos(_norm_inf(ax_s_btau), tau),
+        _safediv_pos(_norm_inf(px_aty_ctau), tau),
+        jnp.abs(xpx_nm + ctx_nm + bty_nm),
+        _norm_inf(ax_s_btau), _norm_inf(px_aty_ctau),
+        jnp.linalg.norm(ax_s_btau), jnp.linalg.norm(px_aty_ctau),
+        res_infeas_nm, res_unbdd_a_nm, res_unbdd_p_nm,
+        xpx_nm / 2.0 + ctx_nm, -xpx_nm / 2.0 - bty_nm,
+        tau, kap,
+        r.nm_ax, _norm_inf(ax_s * fac_m), r.nm_px, r.nm_aty,
+        r.xt_p_x, r.xt_p_x * (r.tau * r.tau), r.ctx, r.ctx_tau,
+        r.bty, r.bty_tau,
+        data.nm_b_orig, data.nm_c_orig, st.scale,
+        jnp.linalg.norm(st.u - st.u_t), jnp.linalg.norm(st.v - st.v_prev),
+        _norm_inf(st.u - st.u_t), _norm_inf(st.v - st.v_prev),
+        st.aa_norm, st.accepted_accel.astype(dtype),
+        st.rejected_accel.astype(dtype),
+        st.tot_cg_its.astype(dtype), st.scale_updates.astype(dtype),
+        nan, nan, nan,
+    ]
+    return jnp.stack([jnp.asarray(v, dtype) for v in vals])
+
+
+def make_trace_runner(spec: ConeSpec, stg: Settings, trace_chunk: int = 25):
+    """Chunked runner that also returns a (trace_chunk, NCOL) ring buffer
+    of per-iteration trace rows — one dispatch per `trace_chunk`
+    iterations instead of one per iteration. Rows where iter did not
+    advance (post-termination idempotent steps) are deduplicated on the
+    host by their iter column."""
+    plain_step, check_step, _ = make_steps(spec, stg)
+
+    def body(carry, _):
+        data, st, cap = carry
+        st = jax.lax.cond(
+            (st.status == config.UNFINISHED) & (st.iter < cap),
+            lambda s: check_step(data, s), lambda s: s, st)
+        row = trace_row(data, spec, st)
+        return (data, st, cap), row
+
+    def runner(data: ProblemData, st: LoopState, iter_cap):
+        (_, st, _), rows = jax.lax.scan(body, (data, st, iter_cap), None,
+                                        length=trace_chunk)
+        return st, rows
+
+    return jax.jit(runner)

@@ -166,6 +166,11 @@ class Settings:
     # iterations dispatched per device program before host-side checks
     # (time limit / verbose printing); residual checks stay on-device
     chunk_iters: int = 2500
+    # populate Info.lin_sys_time/cone_time/accel_time after each solve
+    # (scs.h:230-236). The compiled solve fuses all phases into one XLA
+    # program, so attribution is per-phase ms (measured standalone, once
+    # per workspace) x phase call counts — estimated, not sampled.
+    profile_phases: bool = False
 
 
 @dataclasses.dataclass

@@ -114,12 +114,20 @@ def test_invalid_data_rejected():
 
 
 def test_time_limit():
+    """Unattainable tolerances + finite limit: the solve MUST stop on the
+    time limit with the inaccurate-status suffix (scs.c time-limit path)."""
     spec = ConeSpec(l=200)
     p = gen_planted(spec, n=80, seed=67, density=0.3)
-    stg = Settings(time_limit_secs=1e-9, chunk_iters=25,
-                   eps_abs=1e-14, eps_rel=1e-14)
+    stg = Settings(time_limit_secs=1.0, chunk_iters=25,
+                   eps_abs=0.0, eps_rel=0.0)
+    t0 = __import__("time").perf_counter()
     sol, info = scs_tpu.solve(p.problem, spec, p.cone_data, stg)
-    assert "time_limit" in info.status or info.status_val == config.SOLVED
+    wall = __import__("time").perf_counter() - t0
+    assert "time_limit" in info.status, info.status
+    assert info.iter > 0
+    # limit enforced at chunk granularity: generous slack for compile time
+    # is NOT included (t0 above includes it), so only sanity-check order
+    assert wall < 300.0
 
 
 def test_normalize_roundtrip():

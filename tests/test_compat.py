@@ -125,12 +125,19 @@ def test_csv_trace(tmp_path):
                        max_iters=200)
     lines = open(fname).read().strip().splitlines()
     header = lines[0].split(",")
-    assert "res_pri" in header and "scale" in header and "tau" in header
-    # one row per iteration (+1: the terminating iteration's row keeps the
-    # last iter count, mirroring the loop-exit logging cadence)
-    assert len(lines) - 1 == sol["info"]["iter"] + 1
+    # full reference column set (rw.c:707-861): both residual families
+    for col in ("res_pri", "res_pri_normalized", "scale", "tau",
+                "x_nrm_inf", "ax_s_btau_nrm_2", "aa_norm",
+                "diff_u_ut_nrm_inf", "bty_tau", "time"):
+        assert col in header, col
+    # exactly one row per executed iteration (the on-device ring buffer
+    # dedups post-termination idempotent steps by iter)
+    assert len(lines) - 1 == sol["info"]["iter"]
     first = dict(zip(header, lines[1].split(",")))
-    assert int(first["iter"]) >= 1
+    assert int(float(first["iter"])) >= 1
+    rows = [dict(zip(header, ln.split(","))) for ln in lines[1:]]
+    iters = [int(float(r["iter"])) for r in rows]
+    assert iters == sorted(set(iters)), "iters must be strictly increasing"
 
 
 def test_write_data_roundtrip(tmp_path):
