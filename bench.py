@@ -160,7 +160,9 @@ def run_bench(baseline):
     roof = None
     try:
         from scs_tpu.ops import roofline
-        roof = roofline.measure(n=4096, iters=50, reps=3)
+        # iters must be large enough that chain device-time dwarfs the
+        # ~100 ms tunnel dispatch latency (see roofline.measure docstring)
+        roof = roofline.measure(n=4096, iters=400, reps=3)
         log(f"roofline: ds {roof['ds_gbps'] and round(roof['ds_gbps'])} GB/s"
             f" / peak {roof['peak_gbps']} GB/s"
             f" -> frac {roof['frac'] and round(roof['frac'], 3)}")

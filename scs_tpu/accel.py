@@ -136,14 +136,21 @@ def aa_apply(a: AAState, f, x, *, mem: int, type1: bool,
         length = jnp.minimum(a.it, mem)
         mask = (jnp.arange(mem) < length).astype(dtype)
 
-        # gamma path dtype: f32 on the mixed TPU path only — the
-        # (mem x mem) Gram/solve just picks the acceleration direction
-        # (safeguard + weight cap give correctness) and f64 matmuls are
-        # software-emulated on TPU at 10-35x the f32 cost; everywhere
-        # else match the reference's f64 AA weights (aa.c:422-652)
+        # gamma via QR of the AUGMENTED matrix [A_hist; sqrt(r) I]
+        # (aa.c:422-652): the regularized least-squares system solved
+        # without forming the Gram — normal equations square the history's
+        # condition number and measurably degrade acceptance (round-2
+        # acceptance-parity runs: 0.25-0.6 vs the reference's ~1.0).
+        # Inactive ring slots contribute the orthogonal column e_{l+j}
+        # (diag 1), which yields gamma_j = 0 exactly.
+        # Deviation from the reference: no column pivoting / rank
+        # truncation (jnp.linalg.qr has no pivoted mode); with r > 0 the
+        # augmented matrix has full column rank by construction, and the
+        # non-finite check + safeguard own the rank-deficient corner.
+        # gamma_f32 drops the factorization to f32 on the mixed TPU path
+        # (f64 QR is software-emulated there); the safeguard + weight cap
+        # own correctness.
         gdt = jnp.float32 if gamma_f32 else dtype
-        A_mat = ((S if type1 else Y) * mask[:, None]).astype(gdt)
-        B_mat = (Y * mask[:, None]).astype(gdt)
         # regularization modes (aa.c:437-451)
         if regularization > 0:
             nrm_yf = _frob_from_cols(nrm_y)
@@ -153,10 +160,25 @@ def aa_apply(a: AAState, f, x, *, mem: int, type1: bool,
             r = jnp.asarray(-regularization, dtype)
         else:
             r = zero
-        G = A_mat @ B_mat.T
-        G = G + ((r + (1.0 - mask)) * jnp.eye(mem, dtype=dtype)).astype(gdt)
-        rhs = A_mat @ g.astype(gdt)
-        gamma = (_small_solve(G, rhs, mem).astype(dtype)) * mask
+        sqrt_r = jnp.sqrt(jnp.maximum(r, 0.0))
+        A_hist = ((S if type1 else Y) * mask[:, None]).astype(gdt)
+        diag_aug = (sqrt_r * mask + (1.0 - mask)).astype(gdt)
+        A_aug = jnp.concatenate(
+            [A_hist.T, jnp.diag(diag_aug)], axis=0)     # (l + mem, mem)
+        Q, R = jnp.linalg.qr(A_aug, mode="reduced")
+        qc = Q[: g.shape[0]].T @ g.astype(gdt)           # Q'[g; 0]
+        if type1:
+            # W gamma = Q'c with W = Q'[Y_hist; sqrt(r) I] — the
+            # QR-stabilized form of (S'Y + r I) gamma = S'g
+            B_aug = jnp.concatenate(
+                [(Y * mask[:, None]).astype(gdt).T, jnp.diag(diag_aug)],
+                axis=0)
+            W = Q.T @ B_aug
+            gamma = _small_solve(W, qc, mem).astype(dtype) * mask
+        else:
+            # Q'B = R: triangular solve (aa.c type-II branch)
+            gamma = jax.scipy.linalg.solve_triangular(
+                R, qc, lower=False).astype(dtype) * mask
         aa_norm = jnp.linalg.norm(gamma)
 
         do_solve = a.it >= mem  # min_len = mem: wait until window is full

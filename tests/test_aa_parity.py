@@ -49,8 +49,9 @@ def _ensure_reference_binary():
 
 def _run_reference(prob_file: str, csv_file: str) -> dict:
     binary = _ensure_reference_binary()
+    # overrides are (param, value) argv PAIRS (test/run_from_file.c main)
     out = subprocess.run(
-        [binary, prob_file, f"log_csv_filename={csv_file}"],
+        [binary, prob_file, "log_csv_filename", csv_file],
         capture_output=True, text=True, timeout=300)
     assert out.returncode == 0, out.stdout[-2000:] + out.stderr[-2000:]
     with open(csv_file) as f:
@@ -77,7 +78,13 @@ def _rate(acc, rej):
 ])
 def test_aa_acceptance_parity(name, spec, n, seed, with_P, tmp_path):
     p = gen_planted(spec, n=n, seed=seed, density=0.3, with_P=with_P)
-    stg = Settings(eps_abs=1e-9, eps_rel=1e-9)
+    # linsys='direct' matches the reference binary's backend
+    # (run_from_file_direct, exact KKT solves): with inexact CG solves
+    # (either solver's indirect backend) the AA history carries solver
+    # noise and acceptance drops — a property of the algorithm, not of
+    # this implementation (measured: our direct backend reproduces the
+    # reference's iteration counts exactly on these problems)
+    stg = Settings(eps_abs=1e-9, eps_rel=1e-9, linsys="direct")
 
     prob_file = str(tmp_path / f"{name}.dat")
     write_scs_data(prob_file, p.problem, spec, p.cone_data, stg)
