@@ -1,16 +1,21 @@
 """Block-partitioned sparse SOCP demo at O(nnz) storage (BASELINE config 5).
 
-Builds a scenario-structured SOCP whose constraint matrix is block
-sparse — K scenarios, each coupling its own variable block to a shared
-block:
+Builds a block-banded (MPC / multi-stage style) SOCP: K stages, the rows
+of stage i coupling the variable blocks of stages i-1 and i:
 
-    rows(scenario i) = [ B_i | 0 ... C_i ... 0 ]   (shared | scenario i)
+    rows(stage i) = [ 0 ... C_{i,i-1}  C_{i,i} ... 0 ]
 
-With the default sizes (K=500 scenarios), A is ~100k x 64k with ~25.6M
+With the default sizes (K=500 stages), A is ~100k x 64k with ~25.6M
 structural nonzeros: the DENSE matrix would be 6.4e9 entries (~51 GB,
-far beyond one chip's HBM), while the blocked-ELL storage is ~2 GB
-including the transpose structure and double-single splits — this demo
-exists to prove the O(nnz) path solves it on one chip.
+far beyond one chip's HBM), while the blocked-ELL storage is ~0.5 GB
+including the transpose structure — this demo exists to prove the
+O(nnz) path solves it on one chip.
+
+Format note: blocked-ELL pads every block-row to the MAX tile count, so
+a few dense rows/columns (e.g. variables shared by ALL stages) would
+blow the padding up toward dense; banded/partitioned structure like this
+one is the format's sweet spot. (A dense-plus-sparse split operand for
+low-rank coupling is the natural extension.)
 
 Usage:
     python -m scs_tpu.demo_sparse            # full size (TPU)
@@ -44,43 +49,33 @@ def _proj_soc_batch_np(V: np.ndarray) -> np.ndarray:
 
 
 def build_problem(K: int = 500, mb_l: int = 72, soc: int = 64,
-                  nb: int = 128, n0: int = 128, seed: int = 0):
+                  nb: int = 128, seed: int = 0):
     """Returns (Problem with SparseA, ConeSpec, planted optimum)."""
     from .ops.sparse import SparseA, ell_from_coo
     from .types import ConeSpec, Problem
 
     rng = np.random.RandomState(seed)
-    mb = mb_l + 2 * soc                   # rows per scenario
+    mb = mb_l + 2 * soc                   # rows per stage
     m = K * mb
-    n = n0 + K * nb
+    n = K * nb
     spec = ConeSpec(l=K * mb_l, q=(soc,) * (2 * K))
 
-    # COO assembly: scenario i occupies rows [l-part at i*mb_l,
-    # soc-part after all l rows], columns [0:n0] + [n0+i*nb : n0+(i+1)*nb]
+    # COO assembly: stage i occupies rows [l-part at i*mb_l, soc-part
+    # after all l rows] and columns of stages i-1 and i (block-banded)
     rows_l = []
-    rows_q = []
     cols = []
     vals = []
     l_total = K * mb_l
-    dens_shared = np.ones((mb, n0), bool)
+    rr2, cc2 = np.nonzero(np.ones((mb, nb), bool))
     for i in range(K):
-        # dense scenario block (mb x (n0 + nb)) scaled for conditioning
-        Bi = rng.randn(mb, n0) / np.sqrt(n0 + nb)
-        Ci = rng.randn(mb, nb) / np.sqrt(n0 + nb)
         r_l = np.arange(mb_l) + i * mb_l
         r_q = l_total + np.arange(2 * soc) + i * 2 * soc
         r_all = np.concatenate([r_l, r_q])
-        # shared columns
-        rr, cc = np.nonzero(dens_shared)
-        rows_block = r_all[rr]
-        rows_l.append(rows_block)
-        cols.append(cc)
-        vals.append(Bi[rr, cc])
-        # scenario columns
-        rr2, cc2 = np.nonzero(np.ones((mb, nb), bool))
-        rows_l.append(r_all[rr2])
-        cols.append(n0 + i * nb + cc2)
-        vals.append(Ci[rr2, cc2])
+        for j in ([i - 1, i] if i > 0 else [i]):
+            Cij = rng.randn(mb, nb) / np.sqrt(2 * nb)
+            rows_l.append(r_all[rr2])
+            cols.append(j * nb + cc2)
+            vals.append(Cij[rr2, cc2])
     rows_all = np.concatenate(rows_l)
     cols_all = np.concatenate(cols)
     vals_all = np.concatenate(vals)
@@ -118,7 +113,7 @@ def main():
     from .types import Settings
 
     small = "--small" in sys.argv
-    kwargs = dict(K=6, mb_l=8, soc=4, nb=16, n0=16) if small else {}
+    kwargs = dict(K=6, mb_l=8, soc=4, nb=16) if small else {}
     prob, spec, opt, meta = build_problem(**kwargs)
     print(f"A: {meta['m']} x {meta['n']}, nnz {meta['nnz'] / 1e6:.1f}M; "
           f"stored {meta['stored_bytes'] / 1e9:.2f} GB vs dense "

@@ -75,11 +75,14 @@ def test_small_sdp(backend):
                     info.status_val)
 
 
-def test_complex_psd():
-    """Complex PSD cone via real-symmetric embedding (complex_PSD.h analog)."""
+@pytest.mark.parametrize("backend", BACKENDS)
+def test_complex_psd(backend):
+    """Complex PSD cone via real-symmetric embedding (complex_PSD.h
+    analog), exercised through all 4 backend modes incl. the mixed
+    f32-eigh fast phase + f64 polish."""
     spec = ConeSpec(l=4, cs=(3,))
     p = gen_planted(spec, n=10, seed=19, density=0.5)
-    stg = Settings()
+    stg = _settings(backend)
     sol, info = scs_tpu.solve(p.problem, spec, p.cone_data, stg)
     assert info.status_val == config.SOLVED, info.status
     verify_solution(p.problem, spec, p.cone_data, stg, info, sol,
@@ -251,3 +254,32 @@ def test_max_iters_inaccurate():
                                config.INFEASIBLE_INACCURATE,
                                config.UNBOUNDED_INACCURATE)
     assert "inaccurate" in info.status
+
+
+def test_complex_psd_compat():
+    """cs cones through the scs-python-compatible interface."""
+    import scipy.sparse as sp
+
+    from scs_tpu import compat
+
+    spec = ConeSpec(l=4, cs=(3,))
+    p = gen_planted(spec, n=10, seed=19, density=0.5)
+    data = {"A": sp.csc_matrix(np.asarray(p.problem.A)),
+            "b": np.asarray(p.problem.b), "c": np.asarray(p.problem.c)}
+    out = compat.solve(data, {"l": 4, "cs": [3]}, verbose=False)
+    assert out["info"]["status_val"] == config.SOLVED
+    assert abs(out["info"]["pobj"] - p.opt) < 1e-3 * (1 + abs(p.opt))
+
+
+@pytest.mark.parametrize("backend", BACKENDS)
+def test_solve_f32_socp(backend):
+    """f32 dtype (the SFLOAT analog) across all backend modes on an SOCP."""
+    import jax.numpy as jnp
+
+    spec = ConeSpec(z=5, l=20, q=(10, 6))
+    p = gen_planted(spec, n=15, seed=31, density=0.4)
+    stg = _settings(backend, dtype=jnp.float32, eps_abs=2e-3, eps_rel=2e-3)
+    sol, info = scs_tpu.solve(p.problem, spec, p.cone_data, stg)
+    assert info.status_val in (config.SOLVED, config.SOLVED_INACCURATE), (
+        backend, info.status)
+    assert abs(info.pobj - p.opt) < 5e-2 * (1 + abs(p.opt))
