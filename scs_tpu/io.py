@@ -66,23 +66,37 @@ def _csc_to_dense(m, n, colptr, rowidx, vals) -> np.ndarray:
     return A
 
 
-def _read_amatrix(c: _Cursor) -> np.ndarray:
+def _read_amatrix_csc(c: _Cursor):
     m = c.int1()
     n = c.int1()
     colptr = c.ints(n + 1)
     nnz = int(colptr[-1])
     vals = c.floats(nnz)
     rowidx = c.ints(nnz)
+    return m, n, colptr, rowidx, vals
+
+
+def _read_amatrix(c: _Cursor) -> np.ndarray:
+    m, n, colptr, rowidx, vals = _read_amatrix_csc(c)
     return _csc_to_dense(m, n, colptr, rowidx, vals)
 
 
-def read_scs_data(filename: str, dtype=None):
+def read_scs_data(filename: str, dtype=None, storage: str = "dense"):
     """Read an SCS binary problem file.
 
     Returns (Problem, ConeSpec, ConeData, Settings). Settings carries the
     values stored in the file (tolerances, scale, AA parameters, ...).
     Uses the native (C++) codec when available, else the pure-Python path.
+
+    storage='sparse' keeps A in the O(nnz_blocks) blocked-ELL form
+    (ops/sparse.SparseA) without ever materializing the dense matrix —
+    the interchange path for problems too large for dense storage
+    (requires linsys='indirect' and no P to solve).
     """
+    if storage == "sparse":
+        return _read_scs_data_py(filename, dtype, storage="sparse")
+    if storage != "dense":
+        raise ValueError(f"unknown storage {storage!r}")
     from .utils import native
     parsed = native.read_file(filename)
     if parsed is not None:
@@ -134,7 +148,7 @@ def _assemble_from_native(v: dict, dtype=None):
     return problem, spec, cone_data, stgs
 
 
-def _read_scs_data_py(filename: str, dtype=None):
+def _read_scs_data_py(filename: str, dtype=None, storage: str = "dense"):
     """Pure-Python reader (fallback + reference for the native codec)."""
     import jax.numpy as jnp
     if dtype is None:
@@ -174,10 +188,23 @@ def _read_scs_data_py(filename: str, dtype=None):
     n = c.int1()
     b = c.floats(m)
     cc = c.floats(n)
-    A = _read_amatrix(c)
+    if storage == "sparse":
+        import scipy.sparse as _sp
+
+        from .ops.sparse import sparse_from_scipy
+        am, an, colptr, rowidx, vals = _read_amatrix_csc(c)
+        A = sparse_from_scipy(_sp.csc_matrix(
+            (vals, rowidx, colptr), shape=(am, an)), dtype=dtype
+            if dtype is not None else np.float64)
+    else:
+        A = _read_amatrix(c)
     has_p = c.int1()
     P = None
     if has_p:
+        if storage == "sparse":
+            raise ValueError(
+                "storage='sparse' requires a problem without P "
+                "(the sparse path is the matrix-free LP/SOCP path)")
         Pu = _read_amatrix(c)  # upper triangular
         P = Pu + Pu.T - np.diag(np.diag(Pu))
 
@@ -238,7 +265,9 @@ def _read_scs_data_py(filename: str, dtype=None):
                     d=d_spec, nuc_m=nuc_m, nuc_n=nuc_n, ell1=ell1,
                     sl_n=sl_n, sl_k=sl_k)
     cone_data = ConeData(bu=jnp.asarray(bu, dtype), bl=jnp.asarray(bl, dtype))
-    problem = Problem(A=jnp.asarray(A, dtype), b=jnp.asarray(b, dtype),
+    from .ops.sparse import is_sparse
+    A_arr = A if is_sparse(A) else jnp.asarray(A, dtype)
+    problem = Problem(A=A_arr, b=jnp.asarray(b, dtype),
                       c=jnp.asarray(cc, dtype),
                       P=None if P is None else jnp.asarray(P, dtype))
     stgs = Settings(

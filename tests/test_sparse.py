@@ -132,3 +132,29 @@ def test_blocked_ell_big_shape_memory():
     ref = sp.coo_matrix((vals, (r_idx, c_idx)), shape=(m, n)).tocsr() @ x
     got = np.asarray(S @ x)
     np.testing.assert_allclose(got, ref, atol=1e-10)
+
+
+def test_read_scs_data_sparse(tmp_path):
+    """SCS interchange files load straight into blocked-ELL storage and
+    solve to the same answer as the dense read (the big-problem
+    interchange path: no dense materialization)."""
+    from scs_tpu.io import read_scs_data, write_scs_data
+
+    spec = ConeSpec(z=5, l=30, q=(10,))
+    p = gen_planted(spec, n=20, seed=41, density=0.15)
+    f = str(tmp_path / "prob.dat")
+    write_scs_data(f, p.problem, spec, p.cone_data,
+                   Settings(linsys="indirect"))
+
+    prob_d, spec_d, cone_d, stg_d = read_scs_data(f)
+    prob_s, spec_s, cone_s, stg_s = read_scs_data(f, storage="sparse")
+    assert spec_s == spec_d
+    assert sps.is_sparse(prob_s.A)
+    x = np.random.RandomState(0).randn(20)
+    np.testing.assert_allclose(
+        np.asarray(prob_s.A @ x), np.asarray(prob_d.A) @ x, atol=1e-12)
+
+    sol_d, info_d = scs_tpu.solve(prob_d, spec_d, cone_d, stg_d)
+    sol_s, info_s = scs_tpu.solve(prob_s, spec_s, cone_s, stg_s)
+    assert info_s.status_val == config.SOLVED
+    assert abs(info_s.pobj - info_d.pobj) < 1e-4 * (1 + abs(info_d.pobj))
