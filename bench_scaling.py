@@ -28,8 +28,8 @@ import time
 
 import numpy as np
 
-PER_DEVICE_B = 8
-N_VAR = 40
+PER_DEVICE_B = 4
+N_VAR = 24
 REPS = 3
 
 
@@ -89,13 +89,25 @@ def measure_mesh(ndev: int, spec, stg) -> dict:
 
 
 def main_single():
+    # --virtual N: force an N-device CPU mesh (code-path validation on a
+    # machine without N real chips); must run before jax initializes
+    if "--virtual" in sys.argv:
+        import re as _re
+        nv = int(sys.argv[sys.argv.index("--virtual") + 1])
+        flags = _re.sub(r"--xla_force_host_platform_device_count=\d+", "",
+                        os.environ.get("XLA_FLAGS", ""))
+        os.environ["XLA_FLAGS"] = (
+            flags + f" --xla_force_host_platform_device_count={nv}").strip()
+        os.environ["JAX_PLATFORMS"] = "cpu"
     import jax
+    if "--virtual" in sys.argv:
+        jax.config.update("jax_platforms", "cpu")
 
     import scs_tpu  # noqa: F401
     from scs_tpu.types import ConeSpec, Settings
 
-    spec = ConeSpec(z=20, l=60, q=(20, 20, 40))
-    stg = Settings(linsys="direct", chunk_iters=10_000)
+    spec = ConeSpec(z=8, l=24, q=(8, 16))
+    stg = Settings(linsys="direct", chunk_iters=10_000, max_iters=4000)
 
     ndev_all = len(jax.devices())
     sizes = [s for s in (1, 2, 4, 8, 16, 32) if s <= ndev_all]
