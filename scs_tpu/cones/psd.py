@@ -20,7 +20,27 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..ops import eigh_ds
+
 _SQRT2 = np.sqrt(2.0)
+
+# below this dimension the native f64 eigh is cheap enough that the
+# refined path's fixed overhead (several Pallas launches) doesn't pay
+_REFINED_MIN_N = 48
+
+
+def _eigh_accurate(M: jnp.ndarray):
+    """Batched (ct, n, n) f64 eigh for the accurate (pure/polish) path.
+
+    On TPU the native f64 eigh is approximate-Jacobi with ~1e-5-grade
+    residuals AND ~33x the f32 cost (software-emulated arithmetic); the
+    refined path (f32 eigh + double-single Ogita-Aishima correction,
+    ops/eigh_ds.py) is several times faster AND lands at ~1e-9
+    residuals — strictly better on both axes. CPU keeps LAPACK eigh.
+    """
+    if eigh_ds.supported() and M.shape[-1] >= _REFINED_MIN_N:
+        return eigh_ds.eigh_refined(M)
+    return jnp.linalg.eigh(M)
 
 
 @functools.lru_cache(maxsize=None)
@@ -79,16 +99,16 @@ def proj_psd_batch(v: jnp.ndarray, ns: int,
         return jnp.maximum(v, 0.0)
     dtype = v.dtype
 
-    def one(vi):
-        M = svec_to_mat(vi, ns)
-        if f32_eig:
-            M = M.astype(jnp.float32)
-        w, V = jnp.linalg.eigh(M)
-        w = jnp.maximum(w, 0.0)
-        Mp = (V * w[None, :]) @ V.T
-        return mat_to_svec(Mp.astype(dtype), ns)
-
-    return jax.vmap(one)(v)
+    M = jax.vmap(lambda vi: svec_to_mat(vi, ns))(v)
+    if f32_eig:
+        w, V = jnp.linalg.eigh(M.astype(jnp.float32))
+        w, V = w.astype(dtype), V.astype(dtype)
+    else:
+        w, V = _eigh_accurate(M)
+    w = jnp.maximum(w, 0.0)
+    Mp = jnp.einsum("bij,bj,bkj->bik", V, w, V,
+                    precision=jax.lax.Precision.HIGHEST).astype(dtype)
+    return jax.vmap(lambda Mi: mat_to_svec(Mi, ns))(Mp)
 
 
 @functools.lru_cache(maxsize=None)
@@ -137,8 +157,9 @@ def proj_cpsd_batch(v: jnp.ndarray, ns: int,
         return jnp.maximum(v, 0.0)
     diag_idx, re_idx, im_idx, lo_r, lo_c = _cplx_indices(ns)
     inv_sqrt2 = 1.0 / _SQRT2
+    dtype = v.dtype
 
-    def one(vi):
+    def embed(vi):
         Re = jnp.zeros((ns, ns), v.dtype)
         Im = jnp.zeros((ns, ns), v.dtype)
         Re = Re.at[jnp.arange(ns), jnp.arange(ns)].set(vi[diag_idx])
@@ -148,12 +169,9 @@ def proj_cpsd_batch(v: jnp.ndarray, ns: int,
         Re = Re.at[lo_c, lo_r].set(lo_re)
         Im = Im.at[lo_r, lo_c].set(lo_im)
         Im = Im.at[lo_c, lo_r].set(-lo_im)
-        E = jnp.block([[Re, -Im], [Im, Re]])
-        if f32_eig:
-            E = E.astype(jnp.float32)
-        w, V = jnp.linalg.eigh(E)
-        w = jnp.maximum(w, 0.0)
-        Ep = ((V * w[None, :]) @ V.T).astype(vi.dtype)
+        return jnp.block([[Re, -Im], [Im, Re]])
+
+    def unembed(vi, Ep):
         Re_p = 0.5 * (Ep[:ns, :ns] + Ep[ns:, ns:])
         Im_p = 0.5 * (Ep[ns:, :ns] - Ep[:ns, ns:])
         out = jnp.zeros_like(vi)
@@ -162,4 +180,13 @@ def proj_cpsd_batch(v: jnp.ndarray, ns: int,
         out = out.at[im_idx].set(Im_p[lo_r, lo_c] * _SQRT2)
         return out
 
-    return jax.vmap(one)(v)
+    E = jax.vmap(embed)(v)
+    if f32_eig:
+        w, V = jnp.linalg.eigh(E.astype(jnp.float32))
+        w, V = w.astype(dtype), V.astype(dtype)
+    else:
+        w, V = _eigh_accurate(E)
+    w = jnp.maximum(w, 0.0)
+    Ep = jnp.einsum("bij,bj,bkj->bik", V, w, V,
+                    precision=jax.lax.Precision.HIGHEST).astype(dtype)
+    return jax.vmap(unembed)(v, Ep)
