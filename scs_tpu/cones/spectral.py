@@ -13,14 +13,11 @@ as branchless / while_loop JAX:
   * nuclear-norm cone {(t, X): ||X||_* <= t}: SVD + sorted-ell1 projection
     of the singular values (nuclear_cone.c:47-110).
   * logdet cone {(t, v, X): v log det(X/v) >= -t... i.e.
-    -v (log det X - n log v) <= t, X psd, v >= 0}: eigh + the full
-    accuracy cascade — damped Newton on the spectral vector cone with
-    diagonal+rank-1 Hessian solves (log_cone_Newton.c:58-302), then the
-    primal-dual IPM fallback (log_cone_IPM.c, both variants), gated by
-    the KKT-residual checks of log_cone_wrapper.c:47-129.
-
-On the accurate (non-f32) path, eigendecompositions route through the
-refined eigh (ops/eigh_ds.py) on TPU — see cones/psd.py.
+    -v (log det X - n log v) <= t, X psd, v >= 0}: eigh + damped Newton on
+    the spectral vector cone with diagonal+rank-1 Hessian solves
+    (log_cone_Newton.c:58-302). The reference's IPM fallback
+    (log_cone_IPM.c) is not yet implemented; Newton covers the non-
+    pathological cases and the analytic special cases are exact.
 """
 
 from __future__ import annotations
@@ -152,11 +149,8 @@ def proj_sum_largest_evals(tX, ns: int, k: int, f32_eig: bool = False):
     t0 = tX[0]
     M = svec_to_mat(tX[1:], ns) * _SQRT2
     if f32_eig:
-        w, V = jnp.linalg.eigh(M.astype(jnp.float32))   # ascending
-    else:
-        from .psd import _eigh_accurate
-        w, V = _eigh_accurate(M[None])
-        w, V = w[0], V[0]
+        M = M.astype(jnp.float32)
+    w, V = jnp.linalg.eigh(M)               # ascending
     w, V = w.astype(tX.dtype), V.astype(tX.dtype)
     w_desc = w[::-1]
     t_p, w_p_desc = proj_sum_largest_sorted(t0 * _SQRT2, w_desc, k)
@@ -705,10 +699,8 @@ def proj_logdet_batch(seg, ns: int, f32_eig: bool = False):
     v0 = seg[:, 1] * _SQRT2
     M = jax.vmap(lambda r: svec_to_mat(r, ns))(seg[:, 2:]) * _SQRT2
     if f32_eig:
-        w, V = jnp.linalg.eigh(M.astype(jnp.float32))
-    else:
-        from .psd import _eigh_accurate
-        w, V = _eigh_accurate(M)
+        M = M.astype(jnp.float32)
+    w, V = jnp.linalg.eigh(M)
     w, V = w.astype(dtype), V.astype(dtype)
 
     t_n, v_n, x_n = jax.vmap(log_cone_newton)(t0, v0, w)
