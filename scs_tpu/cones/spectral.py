@@ -13,11 +13,17 @@ as branchless / while_loop JAX:
   * nuclear-norm cone {(t, X): ||X||_* <= t}: SVD + sorted-ell1 projection
     of the singular values (nuclear_cone.c:47-110).
   * logdet cone {(t, v, X): v log det(X/v) >= -t... i.e.
-    -v (log det X - n log v) <= t, X psd, v >= 0}: eigh + damped Newton on
-    the spectral vector cone with diagonal+rank-1 Hessian solves
-    (log_cone_Newton.c:58-302). The reference's IPM fallback
-    (log_cone_IPM.c) is not yet implemented; Newton covers the non-
-    pathological cases and the analytic special cases are exact.
+    -v (log det X - n log v) <= t, X psd, v >= 0}: eigh + the full
+    accuracy cascade — damped Newton on the spectral vector cone with
+    diagonal+rank-1 Hessian solves (log_cone_Newton.c:58-302), then the
+    primal-dual IPM fallback (log_cone_IPM.c, both variants) gated by
+    the KKT-residual checks of log_cone_wrapper.c:47-129.
+
+Eigendecompositions here stay on the native eigh in both phases: the
+refined-eigh path (ops/eigh_ds.py, used by cones/psd.py) measurably
+inflates the already-large logdet/sum-largest compile times over the
+remote-TPU link for little end-to-end accuracy gain (the Newton/IPM
+stage dominates the projection error budget).
 """
 
 from __future__ import annotations
