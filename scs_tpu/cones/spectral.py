@@ -382,7 +382,7 @@ def check_logdet_opt(tp, vp, xp, t0, v0, x0):
             comp / jnp.maximum(pn1, dual_norm))
 
 
-def log_cone_ipm(t0_in, v0_in, x0_in, variant: int = 0):
+def log_cone_ipm(t0_in, v0_in, x0_in, variant=0):
     """Primal-dual IPM projection onto the logarithmic vector cone.
 
     Port of log_cone_IPM (log_cone_IPM.c:338-713): NLP min r subject to
@@ -392,7 +392,14 @@ def log_cone_ipm(t0_in, v0_in, x0_in, variant: int = 0):
     (variant 1), a structured O(n) KKT solve (diagonal + rank-1 G via
     Sherman-Morrison, 3-column Woodbury, 3 refinement passes), and the
     reference's nonmonotone ("relaxed") line search. Returns (t, v, x).
+
+    `variant` may be a Python int (0/1) or a traced boolean-like array
+    (True = Mehrotra); traced callers share one compiled body.
     """
+    if isinstance(variant, (bool, int)):
+        mehrotra = jnp.asarray(variant == 0)
+    else:
+        mehrotra = jnp.asarray(variant, bool)
     n = x0_in.shape[0]
     dtype = x0_in.dtype
     nf = jnp.asarray(n, dtype)
@@ -575,12 +582,12 @@ def log_cone_ipm(t0_in, v0_in, x0_in, variant: int = 0):
         sigma = jnp.where(sigma < 1.0, sigma ** 3, sigma)
 
         # ---- corrector / search direction (j = 1) ----
-        if variant == 0:
-            rhs1_c = (1.0 - sigma) * rhs1_aff
-            rhs2_c = rhs2_aff + (sigma * mu - ds_a * dz_a)
-        else:
-            rhs1_c = rhs1_aff
-            rhs2_c = rhs2_aff
+        # `mehrotra` is a TRACED flag so both cascade variants share one
+        # compiled body (the logdet programs are compile-bound over the
+        # remote-TPU link; inlining the IPM twice doubled that cost)
+        rhs1_c = jnp.where(mehrotra, 1.0 - sigma, 1.0) * rhs1_aff
+        rhs2_c = rhs2_aff + jnp.where(mehrotra,
+                                      sigma * mu - ds_a * dz_a, 0.0)
         du1_c, dr_c, dz_c, ds_c = kkt_solve(rhs1_c, rhs2_c)
         step_c0 = max_step(du1_c, dz_c, ds_c)
 
@@ -720,17 +727,23 @@ def proj_logdet_batch(seg, ns: int, f32_eig: bool = False):
     ok = gate(t_n, v_n, x_n)
 
     def ipm_cascade(args):
-        tp, vp, xp, ok = args
-        for variant in (0, 1):
+        # scan over the two variants with a TRACED mehrotra flag: the IPM
+        # body compiles once, runs twice (compile time is the logdet
+        # bottleneck over the remote-TPU link)
+        def try_variant(carry, mehrotra):
+            tp, vp, xp, ok = carry
             ti, vi, xi = jax.vmap(
-                lambda a, b, c: log_cone_ipm(a, b, c, variant))(t0, v0, w)
+                lambda a, b, c: log_cone_ipm(a, b, c, mehrotra))(t0, v0, w)
             ok_i = gate(ti, vi, xi)
             take = ~ok & ok_i
             tp = jnp.where(take, ti, tp)
             vp = jnp.where(take, vi, vp)
             xp = jnp.where(take[:, None], xi, xp)
-            ok = ok | ok_i
-        return tp, vp, xp, ok
+            return (tp, vp, xp, ok | ok_i), None
+
+        carry, _ = jax.lax.scan(try_variant, args,
+                                jnp.array([True, False]))
+        return carry
 
     t_p, v_p, x_p, _ = jax.lax.cond(
         jnp.all(ok), lambda a: a, ipm_cascade, (t_n, v_n, x_n, ok))
