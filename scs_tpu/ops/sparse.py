@@ -127,13 +127,6 @@ def ell_matvec(ell: BlockedEll, x):
     return y.reshape(-1)[: ell.m]
 
 
-def ell_row_reduce(ell: BlockedEll, fn, combine, init):
-    """Per-logical-row reduction of fn(data) over all stored columns."""
-    t = fn(ell.data)
-    r = combine(t, axis=2)
-    return r.reshape(-1)[: ell.m]
-
-
 def ell_row_abs_max(ell: BlockedEll):
     return jnp.max(jnp.abs(ell.data), axis=2).reshape(-1)[: ell.m]
 
