@@ -218,18 +218,28 @@ class Workspace:
             # inertia, so the normalized P is equivalent.
             P = self.data.P
             if not bad and P is not None:
+                # precision-aware probe: LAPACK f64 on CPU is exact
+                # (tolerance 1e-8); on TPU eigh is approximate-Jacobi
+                # with ~1e-5-grade residuals in BOTH precisions, so run
+                # it in cheap f32 and widen the tolerance accordingly —
+                # a tight threshold there would misflag valid singular
+                # PSD P (e.g. rank-deficient least-squares objectives)
+                on_cpu = jax.default_backend() == "cpu"
+                Pp = P if on_cpu else P.astype(jnp.float32)
                 if P.shape[0] <= 4096:
-                    lam_min = float(jnp.min(jnp.linalg.eigvalsh(P)))
+                    lam_min = float(jnp.min(jnp.linalg.eigvalsh(Pp)))
                 else:  # subspace probe at scale
                     from jax.experimental.sparse.linalg import \
                         lobpcg_standard
                     k = 8
                     rng = np.random.RandomState(0)
-                    X0 = jnp.asarray(rng.randn(P.shape[0], k), P.dtype)
-                    theta, _, _ = lobpcg_standard(lambda x: -P @ x, X0, m=50)
+                    X0 = jnp.asarray(rng.randn(P.shape[0], k), Pp.dtype)
+                    theta, _, _ = lobpcg_standard(lambda x: -(Pp @ x), X0,
+                                                  m=50)
                     lam_min = -float(jnp.max(theta))
                 scale_ref = max(1.0, float(jnp.max(jnp.abs(P))))
-                bad = lam_min < -1e-8 * scale_ref
+                tol = 1e-8 if on_cpu else 2e-4
+                bad = lam_min < -tol * scale_ref
         if bad:
             raise ValidationError(
                 "non-convexity detected: the KKT Schur complement is not "

@@ -101,8 +101,10 @@ def proj_psd_batch(v: jnp.ndarray, ns: int,
 
     M = jax.vmap(lambda vi: svec_to_mat(vi, ns))(v)
     if f32_eig:
+        # keep the WHOLE fast path (eigh + reconstruction) in f32 — the
+        # reconstruction matmul in f64 would be software-emulated at
+        # 10-35x the cost, defeating the mixed fast phase
         w, V = jnp.linalg.eigh(M.astype(jnp.float32))
-        w, V = w.astype(dtype), V.astype(dtype)
     else:
         w, V = _eigh_accurate(M)
     w = jnp.maximum(w, 0.0)
@@ -182,8 +184,8 @@ def proj_cpsd_batch(v: jnp.ndarray, ns: int,
 
     E = jax.vmap(embed)(v)
     if f32_eig:
+        # f32 end-to-end on the fast path (see proj_psd_batch)
         w, V = jnp.linalg.eigh(E.astype(jnp.float32))
-        w, V = w.astype(dtype), V.astype(dtype)
     else:
         w, V = _eigh_accurate(E)
     w = jnp.maximum(w, 0.0)

@@ -705,6 +705,12 @@ def proj_logdet_batch(seg, ns: int, f32_eig: bool = False):
     variant 0 -> IPM variant 1, per lane. The IPM legs are behind a scalar
     any-lane cond so the (rare) fallback costs nothing when Newton
     converges — which it does on all non-pathological inputs.
+
+    Caveat: under an OUTER vmap (the batched problem solver,
+    parallel/batch.py) lax.cond lowers to select and the IPM legs execute
+    every projection regardless of the gate — batched solving of logdet
+    problems pays the full cascade. The single-problem Workspace path
+    (the normal route for logdet programs) keeps the zero-cost skip.
     """
     ct = seg.shape[0]
     dtype = seg.dtype

@@ -193,6 +193,17 @@ def _read_scs_data_py(filename: str, dtype=None, storage: str = "dense"):
 
         from .ops.sparse import sparse_from_scipy
         am, an, colptr, rowidx, vals = _read_amatrix_csc(c)
+        # file-supplied CSC structure is untrusted: the same checks the
+        # native codec applies (valid_csc, native/scs_io.cc) must run
+        # here too — a negative rowidx would otherwise wrap around in
+        # the numpy fancy assignment and silently corrupt A
+        if (am <= 0 or an <= 0 or colptr[0] != 0
+                or np.any(np.diff(colptr) < 0)
+                or colptr[-1] != len(vals)
+                or (len(rowidx)
+                    and (rowidx.min() < 0 or rowidx.max() >= am))
+                or not np.all(np.isfinite(vals))):
+            raise ValueError("corrupt CSC structure for A in SCS data file")
         A = sparse_from_scipy(_sp.csc_matrix(
             (vals, rowidx, colptr), shape=(am, an)), dtype=dtype
             if dtype is not None else np.float64)

@@ -42,7 +42,7 @@ from . import dsmatmul
 # f32-eigh error (~1e-5 ||A||), so gaps below ~1e-3 ||A|| would amplify
 # the correction; later sweeps start from much smaller error and can
 # resolve much smaller gaps
-_SEP_TOLS = (1e-3, 1e-7)
+_SEP_TOLS = (1e-3, 1e-7, 1e-7)
 _QA_TOL = 1e-8
 
 
@@ -71,8 +71,13 @@ def eigh_refined(A, sweeps: int = 2):
     """Batched (..., n, n) symmetric eigh with refined accuracy.
 
     Returns (w, V) in f64, w ASCENDING (matching jnp.linalg.eigh).
-    Falls back to native f64 eigh for the whole batch if the refinement's
-    quality gate fails.
+
+    If the post-sweep orthogonality gate fails, one EXTRA refinement
+    sweep runs (quadratic contraction makes a further sweep the right
+    medicine). Falling back to the native f64 eigh would be pointless on
+    TPU — it is ALSO ~1e-5-grade — and a cond branch holding it would
+    execute unconditionally under vmap (batched solves), paying the 33x
+    emulated decomposition every projection.
     """
     dtype = A.dtype
     w32, V32 = jnp.linalg.eigh(A.astype(jnp.float32))
@@ -82,22 +87,22 @@ def eigh_refined(A, sweeps: int = 2):
         lam, X, R = _sweep(A, X, tol)
 
     # quality gate: orthogonality defect of the FINAL X
-    XtX = dsmatmul.ds_matmul(jnp.swapaxes(X, -1, -2), X)
     n = A.shape[-1]
-    orth = jnp.max(jnp.abs(XtX - jnp.eye(n, dtype=dtype)))
-    ok = orth < _QA_TOL
+    eye = jnp.eye(n, dtype=dtype)
+    XtX = dsmatmul.ds_matmul(jnp.swapaxes(X, -1, -2), X)
+    orth = jnp.max(jnp.abs(XtX - eye))
 
-    def refined(_):
-        order = jnp.argsort(lam, axis=-1)
-        w_s = jnp.take_along_axis(lam, order, axis=-1)
-        V_s = jnp.take_along_axis(X, order[..., None, :], axis=-1)
-        return w_s, V_s
+    def extra_sweep(args):
+        lam_c, X_c = args
+        lam_n, X_n, _ = _sweep(A, X_c, _SEP_TOLS[-1])
+        return lam_n, X_n
 
-    def fallback(_):
-        w_f, V_f = jnp.linalg.eigh(A)
-        return w_f, V_f
-
-    return jax.lax.cond(ok, refined, fallback, None)
+    lam, X = jax.lax.cond(orth < _QA_TOL, lambda a: a, extra_sweep,
+                          (lam, X))
+    order = jnp.argsort(lam, axis=-1)
+    w_s = jnp.take_along_axis(lam, order, axis=-1)
+    V_s = jnp.take_along_axis(X, order[..., None, :], axis=-1)
+    return w_s, V_s
 
 
 def supported() -> bool:

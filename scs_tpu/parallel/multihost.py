@@ -115,7 +115,8 @@ def local_batch_slice(global_batch: int) -> slice:
     nproc = jax.process_count()
     if global_batch % nproc:
         raise ValueError(
-            f"global batch {global_batch} must divide process count {nproc}")
+            f"global batch {global_batch} must be divisible by the "
+            f"process count {nproc}")
     per = global_batch // nproc
     pid = jax.process_index()
     return slice(pid * per, (pid + 1) * per)

@@ -158,3 +158,24 @@ def test_read_scs_data_sparse(tmp_path):
     sol_s, info_s = scs_tpu.solve(prob_s, spec_s, cone_s, stg_s)
     assert info_s.status_val == config.SOLVED
     assert abs(info_s.pobj - info_d.pobj) < 1e-4 * (1 + abs(info_d.pobj))
+
+
+def test_read_scs_data_sparse_rejects_corrupt(tmp_path):
+    """The sparse read path must apply the same CSC validation as the
+    native codec (negative rowidx would wrap around in the blocked-ELL
+    scatter and silently corrupt A)."""
+    import struct
+
+    ver = b"3.2.11"
+    out = struct.pack("<III", 8, 8, len(ver)) + ver
+    out += struct.pack("<8q", 0, 2, 0, 0, 0, 0, 0, 0)
+    out += struct.pack("<2q", 2, 1)
+    out += struct.pack("<2d", -1.0, -2.0) + struct.pack("<d", 1.0)
+    out += struct.pack("<2q", 2, 1) + struct.pack("<2q", 0, 2)
+    out += struct.pack("<2d", 1.0, 1.0)
+    out += struct.pack("<2q", -1, 0)    # negative rowidx
+    f = str(tmp_path / "bad.dat")
+    open(f, "wb").write(out)
+    from scs_tpu.io import read_scs_data
+    with pytest.raises(ValueError, match="CSC"):
+        read_scs_data(f, storage="sparse")
