@@ -189,6 +189,13 @@ def run_bench(baseline):
     if roof and roof.get("frac"):
         out["roofline_frac"] = round(roof["frac"], 3)
         out["roofline_ds_gbps"] = round(roof["ds_gbps"], 1)
+        if roof.get("frac_achievable"):
+            # vs the chip's measured streaming-read wall (pure-read pallas
+            # kernel; the spec peak is unattainable — ops/roofline.py)
+            out["roofline_frac_achievable"] = round(
+                roof["frac_achievable"], 3)
+            out["roofline_read_peak_gbps"] = round(
+                roof["read_peak_gbps"], 1)
     print(json.dumps(out))
 
 

@@ -122,7 +122,12 @@ class Workspace:
             A = problem.A.astype(dtype)
         else:
             A = jnp.asarray(problem.A, dtype)
-        P = None if problem.P is None else jnp.asarray(problem.P, dtype)
+        if problem.P is None:
+            P = None
+        elif is_sparse(problem.P):
+            P = problem.P.astype(dtype)
+        else:
+            P = jnp.asarray(problem.P, dtype)
         m, n = A.shape
         self.m, self.n = m, n
         self.l = n + m + 1
@@ -218,6 +223,7 @@ class Workspace:
             # inertia, so the normalized P is equivalent.
             P = self.data.P
             if not bad and P is not None:
+                from .ops.sparse import is_sparse
                 # precision-aware probe: LAPACK f64 on CPU is exact
                 # (tolerance 1e-8); on TPU eigh is approximate-Jacobi
                 # with ~1e-5-grade residuals in BOTH precisions, so run
@@ -226,9 +232,10 @@ class Workspace:
                 # PSD P (e.g. rank-deficient least-squares objectives)
                 on_cpu = jax.default_backend() == "cpu"
                 Pp = P if on_cpu else P.astype(jnp.float32)
-                if P.shape[0] <= 4096:
-                    lam_min = float(jnp.min(jnp.linalg.eigvalsh(Pp)))
-                else:  # subspace probe at scale
+                if P.shape[0] > 4096:
+                    # matrix-free subspace probe at scale (sparse P is
+                    # never densified; SparseA supports the (n, k)
+                    # matmat the LOBPCG block iteration applies)
                     from jax.experimental.sparse.linalg import \
                         lobpcg_standard
                     k = 8
@@ -237,7 +244,14 @@ class Workspace:
                     theta, _, _ = lobpcg_standard(lambda x: -(Pp @ x), X0,
                                                   m=50)
                     lam_min = -float(jnp.max(theta))
-                scale_ref = max(1.0, float(jnp.max(jnp.abs(P))))
+                else:
+                    # small n: a dense eigh probe is trivial; a sparse P
+                    # is densified for the probe only (one n x n matmat)
+                    Pd = (Pp @ jnp.eye(P.shape[0], dtype=self.stg.dtype)
+                          if is_sparse(P) else Pp)
+                    lam_min = float(jnp.min(jnp.linalg.eigvalsh(Pd)))
+                scale_ref = max(1.0, float(
+                    P.abs_max() if is_sparse(P) else jnp.max(jnp.abs(P))))
                 tol = 1e-8 if on_cpu else 2e-4
                 bad = lam_min < -tol * scale_ref
         if bad:

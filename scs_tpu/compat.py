@@ -59,7 +59,9 @@ def _parse_data(data: dict, storage: str = "dense") -> Problem:
         raise ValueError("data must contain 'A', 'b' and 'c'")
     if storage == "sparse":
         # O(nnz_blocks) blocked-ELL storage: the matrix-free indirect path
-        # (requires linsys='indirect' and no P; see ops/sparse.py)
+        # (requires linsys='indirect'; see ops/sparse.py). P, when given,
+        # is stored sparsely too (scs-python passes upper-triangular CSC;
+        # both conventions are accepted — symmetrize if upper-triangular).
         import scipy.sparse as _sp
         from .ops.sparse import sparse_from_scipy
         A_in = data["A"]
@@ -67,10 +69,18 @@ def _parse_data(data: dict, storage: str = "dense") -> Problem:
             np.asarray(A_in, dtype=np.float64))
         b = np.asarray(data["b"], dtype=np.float64)
         c = np.asarray(data["c"], dtype=np.float64)
+        P = None
         if data.get("P") is not None:
-            raise ValueError("storage='sparse' requires P=None")
+            P_in = data["P"]
+            P_sp = (P_in if _sp.issparse(P_in) else _sp.csc_matrix(
+                np.asarray(P_in, dtype=np.float64))).tocsr()
+            lower = _sp.tril(P_sp, k=-1)
+            if lower.count_nonzero() == 0 and _sp.triu(
+                    P_sp, k=1).count_nonzero() > 0:
+                P_sp = P_sp + P_sp.T - _sp.diags(P_sp.diagonal())
+            P = sparse_from_scipy(P_sp.tocsc())
         return Problem(A=sparse_from_scipy(A_sp), b=jnp.asarray(b),
-                       c=jnp.asarray(c), P=None)
+                       c=jnp.asarray(c), P=P)
     if storage != "dense":
         raise ValueError(f"unknown storage {storage!r}; "
                          "expected 'dense' or 'sparse'")

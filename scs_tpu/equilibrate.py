@@ -57,21 +57,54 @@ def _apply_limit(x):
     return jnp.minimum(x, config.MAX_NORMALIZATION_FACTOR)
 
 
-def equilibrate(A, P, spec: ConeSpec):
-    """Rescale A -> DAE, P -> EPE in the Ruiz/L2 sense. Returns (A, P, Scaling).
+# -- storage-dispatch helpers: dense arrays use full-tile reductions;
+# SparseA (blocked-ELL) uses the structure-aware ops, never materializing
+# the dense matrix (O(nnz_blocks) per pass, matching the reference's
+# per-nnz equilibration cost). The is_sparse branches resolve at trace
+# time (storage is part of the pytree structure), so each combination of
+# {dense, sparse} x {A, P} compiles its own program.
 
-    Dispatches on storage: dense arrays use full-tile reductions; SparseA
-    (blocked-ELL) uses the structure-aware norm/scale ops, never
-    materializing the dense matrix (O(nnz_blocks) per pass, matching the
-    reference's per-nnz equilibration cost)."""
-    from .ops.sparse import is_sparse
-    if is_sparse(A):
-        return _equilibrate_sparse(A, P, spec)
-    return _equilibrate_dense(A, P, spec)
+
+def _row_abs_max(M):
+    from .ops.sparse import ell_row_abs_max, is_sparse
+    if is_sparse(M):
+        return ell_row_abs_max(M.fwd)
+    return jnp.max(jnp.abs(M), axis=1)
+
+
+def _col_abs_max(M):
+    from .ops.sparse import ell_col_abs_max, is_sparse
+    if is_sparse(M):
+        return ell_col_abs_max(M.fwd)
+    return jnp.max(jnp.abs(M), axis=0)
+
+
+def _row_sumsq(M):
+    from .ops.sparse import ell_row_sumsq, is_sparse
+    if is_sparse(M):
+        return ell_row_sumsq(M.fwd)
+    return jnp.sum(M * M, axis=1)
+
+
+def _col_sumsq(M):
+    from .ops.sparse import ell_col_sumsq, is_sparse
+    if is_sparse(M):
+        return ell_col_sumsq(M.fwd)
+    return jnp.sum(M * M, axis=0)
+
+
+def _scale(M, D, E):
+    from .ops.sparse import is_sparse, scale_sparse
+    if is_sparse(M):
+        return scale_sparse(M, D, E)
+    return D[:, None] * M * E[None, :]
 
 
 @functools.partial(jax.jit, static_argnames=("spec",))
-def _equilibrate_dense(A: jnp.ndarray, P, spec: ConeSpec):
+def equilibrate(A, P, spec: ConeSpec):
+    """Rescale A -> DAE, P -> EPE in the Ruiz/L2 sense. Returns (A, P, Scaling).
+
+    A and P may each independently be dense or SparseA (blocked-ELL)."""
     m, n = A.shape
     ids_np, nseg = _segment_ids(spec)
     ids = jnp.asarray(ids_np)
@@ -80,31 +113,31 @@ def _equilibrate_dense(A: jnp.ndarray, P, spec: ConeSpec):
     def ruiz_pass(carry, _):
         A, P = carry
         # D: inf-norm of rows of A, aggregated (inf-norm) within each cone
-        Dt = jnp.max(jnp.abs(A), axis=1)
+        Dt = _row_abs_max(A)
         Dt = jax.ops.segment_max(Dt, ids, num_segments=nseg)[ids]
         Dt = 1.0 / jnp.sqrt(_apply_limit(Dt))
         # E: inf-norm of cols of [P; A]
-        Et = jnp.max(jnp.abs(A), axis=0)
+        Et = _col_abs_max(A)
         if has_P:
-            Et = jnp.maximum(Et, jnp.max(jnp.abs(P), axis=0))
+            Et = jnp.maximum(Et, _col_abs_max(P))
         Et = 1.0 / jnp.sqrt(_apply_limit(Et))
-        A = Dt[:, None] * A * Et[None, :]
-        P = Et[:, None] * P * Et[None, :] if has_P else P
+        A = _scale(A, Dt, Et)
+        P = _scale(P, Et, Et) if has_P else P
         return (A, P), (Dt, Et)
 
     def l2_pass(carry, _):
         A, P = carry
-        Dt = jnp.sqrt(jnp.sum(A * A, axis=1))
+        Dt = jnp.sqrt(_row_sumsq(A))
         seg_sum = jax.ops.segment_sum(Dt, ids, num_segments=nseg)
         seg_cnt = jax.ops.segment_sum(jnp.ones_like(Dt), ids, num_segments=nseg)
         Dt = (seg_sum / jnp.maximum(seg_cnt, 1.0))[ids]  # cone-wise mean
         Dt = 1.0 / jnp.sqrt(_apply_limit(Dt))
-        Et = jnp.sum(A * A, axis=0)
+        Et = _col_sumsq(A)
         if has_P:
-            Et = Et + jnp.sum(P * P, axis=0)
+            Et = Et + _col_sumsq(P)
         Et = 1.0 / jnp.sqrt(_apply_limit(jnp.sqrt(Et)))
-        A = Dt[:, None] * A * Et[None, :]
-        P = Et[:, None] * P * Et[None, :] if has_P else P
+        A = _scale(A, Dt, Et)
+        P = _scale(P, Et, Et) if has_P else P
         return (A, P), (Dt, Et)
 
     (A, P), (Dts, Ets) = jax.lax.scan(
@@ -116,54 +149,8 @@ def _equilibrate_dense(A: jnp.ndarray, P, spec: ConeSpec):
         D = D * Dt
         E = E * Et
 
-    one = jnp.ones((), A.dtype)
+    one = jnp.ones((), jnp.result_type(D))
     return A, P, Scaling(D=D, E=E, primal_scale=one, dual_scale=one)
-
-
-@functools.partial(jax.jit, static_argnames=("spec",))
-def _equilibrate_sparse(A, P, spec: ConeSpec):
-    """Blocked-ELL variant: same passes, structure-aware reductions.
-    P must be None (validated upstream; the sparse path targets LP/SOCP
-    scale-out where P is absent)."""
-    from .ops.sparse import (ell_col_abs_max, ell_col_sumsq,
-                             ell_row_abs_max, ell_row_sumsq, scale_sparse)
-    assert P is None
-    m, n = A.shape
-    ids_np, nseg = _segment_ids(spec)
-    ids = jnp.asarray(ids_np)
-
-    def ruiz_pass(carry, _):
-        A, = carry
-        Dt = ell_row_abs_max(A.fwd)
-        Dt = jax.ops.segment_max(Dt, ids, num_segments=nseg)[ids]
-        Dt = 1.0 / jnp.sqrt(_apply_limit(Dt))
-        Et = ell_col_abs_max(A.fwd)
-        Et = 1.0 / jnp.sqrt(_apply_limit(Et))
-        return (scale_sparse(A, Dt, Et),), (Dt, Et)
-
-    def l2_pass(carry, _):
-        A, = carry
-        Dt = jnp.sqrt(ell_row_sumsq(A.fwd))
-        seg_sum = jax.ops.segment_sum(Dt, ids, num_segments=nseg)
-        seg_cnt = jax.ops.segment_sum(jnp.ones_like(Dt), ids,
-                                      num_segments=nseg)
-        Dt = (seg_sum / jnp.maximum(seg_cnt, 1.0))[ids]
-        Dt = 1.0 / jnp.sqrt(_apply_limit(Dt))
-        Et = ell_col_sumsq(A.fwd)
-        Et = 1.0 / jnp.sqrt(_apply_limit(jnp.sqrt(Et)))
-        return (scale_sparse(A, Dt, Et),), (Dt, Et)
-
-    (A,), (Dts, Ets) = jax.lax.scan(
-        ruiz_pass, (A,), None, length=config.NUM_RUIZ_PASSES)
-    D = jnp.prod(Dts, axis=0)
-    E = jnp.prod(Ets, axis=0)
-    for _ in range(config.NUM_L2_PASSES):
-        (A,), (Dt, Et) = l2_pass((A,), None)
-        D = D * Dt
-        E = E * Et
-
-    one = jnp.ones((), A.dtype)
-    return A, None, Scaling(D=D, E=E, primal_scale=one, dual_scale=one)
 
 
 def normalize_b_c(scal: Scaling, b: jnp.ndarray, c: jnp.ndarray):

@@ -88,10 +88,10 @@ def read_scs_data(filename: str, dtype=None, storage: str = "dense"):
     values stored in the file (tolerances, scale, AA parameters, ...).
     Uses the native (C++) codec when available, else the pure-Python path.
 
-    storage='sparse' keeps A in the O(nnz_blocks) blocked-ELL form
-    (ops/sparse.SparseA) without ever materializing the dense matrix —
-    the interchange path for problems too large for dense storage
-    (requires linsys='indirect' and no P to solve).
+    storage='sparse' keeps A (and P when present) in the O(nnz_blocks)
+    blocked-ELL form (ops/sparse.SparseA) without ever materializing the
+    dense matrices — the interchange path for problems too large for
+    dense storage (requires linsys='indirect' to solve).
     """
     if storage == "sparse":
         return _read_scs_data_py(filename, dtype, storage="sparse")
@@ -213,11 +213,25 @@ def _read_scs_data_py(filename: str, dtype=None, storage: str = "dense"):
     P = None
     if has_p:
         if storage == "sparse":
-            raise ValueError(
-                "storage='sparse' requires a problem without P "
-                "(the sparse path is the matrix-free LP/SOCP path)")
-        Pu = _read_amatrix(c)  # upper triangular
-        P = Pu + Pu.T - np.diag(np.diag(Pu))
+            import scipy.sparse as _sp
+
+            from .ops.sparse import sparse_from_scipy
+            pm, pn, colptr, rowidx, vals = _read_amatrix_csc(c)
+            if (pm != n or pn != n or colptr[0] != 0
+                    or np.any(np.diff(colptr) < 0)
+                    or colptr[-1] != len(vals)
+                    or (len(rowidx)
+                        and (rowidx.min() < 0 or rowidx.max() >= pm))
+                    or not np.all(np.isfinite(vals))):
+                raise ValueError(
+                    "corrupt CSC structure for P in SCS data file")
+            Pu = _sp.csc_matrix((vals, rowidx, colptr), shape=(n, n))
+            Pfull = Pu + Pu.T - _sp.diags(Pu.diagonal())
+            P = sparse_from_scipy(Pfull.tocsc(), dtype=dtype
+                                  if dtype is not None else np.float64)
+        else:
+            Pu = _read_amatrix(c)  # upper triangular
+            P = Pu + Pu.T - np.diag(np.diag(Pu))
 
     # ---- settings (rw.c:322-355) ----
     normalize = c.int1()

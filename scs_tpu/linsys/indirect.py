@@ -84,7 +84,8 @@ def derive(mats, diag_r, scale, mixed: bool = False):
     n = mats.A.shape[1]
     d = diag_r[:n] + scale * mats.cache.diagK
     if mats.P is not None:
-        d = d + jnp.diagonal(mats.P)
+        d = d + (mats.P.diagonal() if is_sparse(mats.P)
+                 else jnp.diagonal(mats.P))
     M = 1.0 / d
     if not mixed:
         return M

@@ -68,6 +68,20 @@ def _ds_add(xh, xl, yh, yl):
     return hi, lo
 
 
+def _products(ahi, alo, xhi, xlo, x1, x2):
+    """Elementwise double-single products with the x-row Dekker split
+    hoisted: (ahi+alo)(xhi+xlo) = two_prod(ahi, xhi) + ahi*xlo + alo*xhi
+    + O(2^-48). x1/x2 = _split(xhi) are computed ONCE on the (1, chunk)
+    broadcast row — splitting inside two_prod would redo that work on the
+    full (bm, chunk) tile (4 flops/element of pure overhead). Measured
+    identical output bits and no-worse wall time vs the unhoisted form
+    (hardware sweep, docs/PERFORMANCE.md roofline section)."""
+    p = ahi * xhi
+    a1, a2 = _split(ahi)
+    err = ((a1 * x1 - p) + a1 * x2 + a2 * x1) + a2 * x2
+    return p, err + (ahi * xlo + alo * xhi)
+
+
 # contraction-dimension tile width: power of two (the butterfly reduction
 # needs it) small enough that two (block_m, chunk) f32 operand tiles fit
 # comfortably in VMEM
@@ -81,11 +95,9 @@ def _kernel(ahi_ref, alo_ref, xhi_ref, xlo_ref, oh_ref, ol_ref,
     alo = alo_ref[:]
     xhi = xhi_ref[:]            # (1, chunk), broadcasts over rows
     xlo = xlo_ref[:]
+    x1, x2 = _split(xhi)
 
-    # elementwise double-single products:
-    # (ahi + alo)(xhi + xlo) = two_prod(ahi, xhi) + ahi*xlo + alo*xhi + O(2^-48)
-    ph, pe = _two_prod(ahi, xhi)
-    pe = pe + (ahi * xlo + alo * xhi)
+    ph, pe = _products(ahi, alo, xhi, xlo, x1, x2)
 
     # lane-axis reduction in ds arithmetic: halving-tree down to one
     # 128-lane register (each level slices the tile in half and ds-adds
@@ -221,9 +233,9 @@ def _batched_kernel(ahi_ref, alo_ref, xhi_ref, xlo_ref, oh_ref, ol_ref,
     alo = alo_ref[:]
     xhi = xhi_ref[:]            # (bb, 1, chunk)
     xlo = xlo_ref[:]
+    x1, x2 = _split(xhi)
 
-    ph, pe = _two_prod(ahi, xhi)
-    pe = pe + (ahi * xlo + alo * xhi)
+    ph, pe = _products(ahi, alo, xhi, xlo, x1, x2)
 
     # halving-tree + final butterfly (see _kernel for rationale)
     width = chunk

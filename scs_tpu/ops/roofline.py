@@ -53,6 +53,60 @@ def device_peak_gbps(device=None) -> Optional[float]:
     return None
 
 
+def _read_peak_fn(Ahi, Alo):
+    """Pure-read Pallas kernel (two-array rowsum): measures the chip's
+    ACHIEVABLE streaming read bandwidth through the same DMA machinery the
+    ds kernel uses. Hardware survey (v5 lite, docs/PERFORMANCE.md): this
+    plateaus at ~525 GB/s = 64% of the 819 GB/s paper spec regardless of
+    tile shape (bm 64-512, chunk 1024-4096) or DMA stream count (2-8
+    concurrent block fetches) — the single-TensorCore DMA wall. XLA's own
+    fused elementwise+reduce reads achieve LESS (~320-400 GB/s; beware
+    loop-invariant hoisting when measuring XLA — a reduce of a
+    loop-constant operand gets hoisted and reports fantasy bandwidth)."""
+    import functools as _ft
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    mp, np_ = Ahi.shape
+    bm = 512 if mp % 512 == 0 else 256
+    while mp % bm:
+        bm //= 2
+    chunk = min(np_, _MAX_CHUNK_READ)
+    grid = (mp // bm, np_ // chunk)
+
+    def kernel(a_ref, b_ref, o_ref):
+        j = pl.program_id(1)
+        s = jnp.sum(a_ref[:] + b_ref[:], axis=1, keepdims=True)
+
+        @pl.when(j == 0)
+        def _():
+            o_ref[:] = s
+
+        @pl.when(j > 0)
+        def _():
+            o_ref[:] = o_ref[:] + s
+
+    call = pl.pallas_call(
+        kernel, grid=grid,
+        in_specs=[pl.BlockSpec((bm, chunk),
+                               lambda i, j: (jnp.int32(i), jnp.int32(j)),
+                               memory_space=pltpu.VMEM)] * 2,
+        out_specs=pl.BlockSpec((bm, 1),
+                               lambda i, j: (jnp.int32(i), jnp.int32(0)),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((mp, 1), jnp.float32))
+
+    def f(x):
+        o = call(Ahi, Alo)
+        return x * 0 + jnp.sum(o)
+
+    return f
+
+
+_MAX_CHUNK_READ = 1024
+
+
 def _time_chained(apply_fn, x0, iters: int, reps: int) -> float:
     """Best-of-reps wall time of `iters` dependent applies in one jit."""
 
@@ -103,8 +157,16 @@ def measure(n: int = 4096, iters: int = 400, reps: int = 3) -> dict:
         t = _time_chained(lambda x: dsmatvec.ds_matvec(split, x, n, n),
                           x0, iters, reps)
         out["ds_gbps"] = iters * bytes_per / t / 1e9
+        # achievable-peak calibration: a pure-read kernel through the same
+        # DMA machinery (no arithmetic beyond one add + rowsum). The gap
+        # between this and the spec peak is the hardware/toolchain DMA
+        # wall, not kernel inefficiency.
+        t = _time_chained(_read_peak_fn(split[0], split[1]), x0, iters,
+                          reps)
+        out["read_peak_gbps"] = iters * bytes_per / t / 1e9
     else:
         out["ds_gbps"] = None
+        out["read_peak_gbps"] = None
 
     # plain f32 XLA matvec (one f32 image per apply)
     A32 = A64.astype(jnp.float32)
@@ -121,6 +183,11 @@ def measure(n: int = 4096, iters: int = 400, reps: int = 3) -> dict:
     out["peak_gbps"] = peak
     ach = out["ds_gbps"] if out["ds_gbps"] is not None else out["f32_gbps"]
     out["frac"] = (ach / peak) if peak else None
+    # fraction of the bandwidth this chip can actually deliver to a
+    # streaming kernel (the honest roofline: spec peak is unattainable by
+    # ANY pure-read kernel on this part — see _read_peak_fn docstring)
+    rp = out.get("read_peak_gbps")
+    out["frac_achievable"] = (ach / rp) if (rp and ach) else None
     return out
 
 

@@ -127,6 +127,38 @@ def ell_matvec(ell: BlockedEll, x):
     return y.reshape(-1)[: ell.m]
 
 
+def ell_matmat(ell: BlockedEll, X):
+    """Y (m, k) = A @ X for X (n, k) — block-gathered batched matmul
+    (used by the convexity probe's LOBPCG on sparse P)."""
+    ncb = ell.ncb
+    k = X.shape[1]
+    Xp = jnp.zeros((ncb * ell.bn, k), X.dtype).at[: ell.n].set(
+        X.astype(ell.data.dtype))
+    X3 = Xp.reshape(ncb, ell.bn, k)[ell.idx]            # (nbr, kmax, bn, k)
+    X3 = X3.reshape(ell.idx.shape[0], ell.kmax * ell.bn, k)
+    Y = jnp.einsum("rij,rjk->rik", ell.data, X3,
+                   precision=jax.lax.Precision.HIGHEST)
+    return Y.reshape(-1, k)[: ell.m]
+
+
+def ell_diagonal(ell: BlockedEll):
+    """diag(A) (min(m, n),) extracted from the blocked-ELL structure.
+
+    Row i's diagonal entry lives in block-row i//bm at in-block row i%bm,
+    in whichever tile slot points at column-block i//bn (if any), at lane
+    i%bn. One gather of the relevant rows + a slot mask."""
+    nd = min(ell.m, ell.n)
+    rows = np.arange(nd)
+    r = rows // ell.bm
+    within = rows % ell.bm
+    bc = jnp.asarray(rows // ell.bn, jnp.int32)
+    off = jnp.asarray(rows % ell.bn)
+    d = ell.data[r, within].reshape(nd, ell.kmax, ell.bn)
+    picked = jnp.take_along_axis(d, off[:, None, None], axis=2)[:, :, 0]
+    mask = ell.idx[r] == bc[:, None]                     # (nd, kmax)
+    return jnp.sum(jnp.where(mask, picked, 0.0), axis=1)
+
+
 def ell_row_abs_max(ell: BlockedEll):
     return jnp.max(jnp.abs(ell.data), axis=2).reshape(-1)[: ell.m]
 
@@ -252,7 +284,15 @@ class SparseA:
         return SparseA(fwd=self.bwd, bwd=self.fwd)
 
     def __matmul__(self, x):
+        if getattr(x, "ndim", 1) == 2:
+            return ell_matmat(self.fwd, x)
         return ell_matvec(self.fwd, x)
+
+    def abs_max(self):
+        return jnp.max(jnp.abs(self.fwd.data))
+
+    def diagonal(self):
+        return ell_diagonal(self.fwd)
 
     def astype(self, dtype) -> "SparseA":
         return SparseA(

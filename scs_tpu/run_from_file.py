@@ -49,8 +49,8 @@ def main(argv=None) -> int:
         print(__doc__)
         return 1
     filename = argv[0]
-    # `storage sparse` keeps A in the O(nnz) blocked-ELL form (no dense
-    # materialization; requires the indirect backend and no P)
+    # `storage sparse` keeps A (and P) in the O(nnz) blocked-ELL form
+    # (no dense materialization; requires the indirect backend)
     storage = "dense"
     overrides = list(argv[1:])
     for i in range(0, len(overrides) - 1, 2):

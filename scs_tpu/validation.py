@@ -28,27 +28,49 @@ def validate(problem: Problem, spec: ConeSpec, cone_data, stg: Settings) -> None
         raise ValidationError(f"b must have shape ({m},), got {problem.b.shape}")
     if problem.c.shape != (n,):
         raise ValidationError(f"c must have shape ({n},), got {problem.c.shape}")
+    sparse_P = problem.P is not None and is_sparse(problem.P)
     if sparse_A:
         if stg.linsys != "indirect":
             raise ValidationError(
                 "sparse (blocked-ELL) A requires linsys='indirect' (the "
                 "matrix-free path); the direct backend forms a dense Gram")
-        if problem.P is not None:
-            raise ValidationError(
-                "sparse A currently requires P=None (LP/SOCP scale-out); "
-                "densify A to use a quadratic objective")
         if not bool(np.all(np.isfinite(np.asarray(problem.A.fwd.data)))):
             raise ValidationError("A contains non-finite entries")
+    if sparse_P and stg.linsys != "indirect":
+        raise ValidationError(
+            "sparse (blocked-ELL) P requires linsys='indirect' (the "
+            "matrix-free path); the direct backend forms a dense Gram")
     if problem.P is not None:
         if problem.P.shape != (n, n):
             raise ValidationError(
                 f"P must have shape ({n}, {n}), got {problem.P.shape}")
-        Pn = np.asarray(problem.P)
-        if not np.allclose(Pn, Pn.T, rtol=0, atol=0):
-            raise ValidationError("P must be symmetric (pass the full matrix; "
-                                  "the reference takes upper-triangular CSC)")
-        if not np.all(np.isfinite(Pn)):
-            raise ValidationError("P contains non-finite entries")
+        if sparse_P:
+            Pd = np.asarray(problem.P.fwd.data)
+            if not np.all(np.isfinite(Pd)):
+                raise ValidationError("P contains non-finite entries")
+            # structure-aware symmetry check: P symmetric iff its stored
+            # forward and transpose directions agree as operators; the
+            # ELL layouts are built from (row, col) and (col, row) of the
+            # same triplets, so comparing a few random matvecs of each
+            # catches any asymmetry without densifying
+            rng = np.random.RandomState(0)
+            Z = rng.randn(n, 3)
+            from .ops.sparse import ell_matmat
+            fz = np.asarray(ell_matmat(problem.P.fwd, Z))
+            bz = np.asarray(ell_matmat(problem.P.bwd, Z))
+            scale = np.abs(Pd).max() + 1.0
+            if not np.allclose(fz, bz, rtol=0, atol=1e-9 * scale):
+                raise ValidationError(
+                    "P must be symmetric (pass the full matrix; the "
+                    "reference takes upper-triangular CSC)")
+        else:
+            Pn = np.asarray(problem.P)
+            if not np.allclose(Pn, Pn.T, rtol=0, atol=0):
+                raise ValidationError(
+                    "P must be symmetric (pass the full matrix; "
+                    "the reference takes upper-triangular CSC)")
+            if not np.all(np.isfinite(Pn)):
+                raise ValidationError("P contains non-finite entries")
     if not sparse_A and not np.all(np.isfinite(np.asarray(problem.A))):
         raise ValidationError("A contains non-finite entries")
     if not np.all(np.isfinite(np.asarray(problem.b))):

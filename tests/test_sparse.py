@@ -79,16 +79,79 @@ def test_sparse_infeasible_certificate():
     assert abs(bty + 1.0) < 1e-9
 
 
-def test_sparse_requires_indirect_and_no_P():
+def test_sparse_requires_indirect():
     spec = ConeSpec(l=4)
     A = sps.sparse_from_dense(-np.eye(4))
     prob = scs_tpu.Problem(A=A, b=np.zeros(4), c=np.ones(4))
     with pytest.raises(ValidationError, match="indirect"):
         scs_tpu.Workspace(prob, spec, settings=Settings(linsys="direct"))
     import dataclasses
-    prob_p = dataclasses.replace(prob, P=np.eye(4))
-    with pytest.raises(ValidationError, match="P"):
+    prob_p = dataclasses.replace(prob, P=sps.sparse_from_dense(np.eye(4)))
+    with pytest.raises(ValidationError, match="indirect"):
         scs_tpu.Workspace(prob_p, spec,
+                          settings=Settings(linsys="direct"))
+
+
+def _rand_sparse_psd(n, seed, density=0.2):
+    """Random sparse PSD matrix: F F' with sparse F (keeps sparsity)."""
+    rng = np.random.RandomState(seed)
+    F = sp.random(n, max(n // 4, 2), density=density, random_state=rng,
+                  data_rvs=rng.randn).tocsc()
+    P = (F @ F.T).tocsc()
+    P = P + 1e-3 * sp.eye(n, format="csc")
+    return P
+
+
+@pytest.mark.parametrize("sparse_A", [True, False])
+def test_sparse_P_qp_parity(sparse_A):
+    """QP with sparse P (and sparse or dense A) matches the dense solve —
+    the sparse quadratic-objective path through equilibration, the Jacobi
+    diagonal, the convexity probe, and the CG matvecs."""
+    import dataclasses
+    spec = ConeSpec(z=8, l=40)
+    p = gen_planted(spec, n=24, seed=31, density=0.2, with_P=True)
+    P_sp = sp.csc_matrix(np.asarray(p.problem.P))
+    stg = Settings(linsys="indirect", eps_abs=1e-7, eps_rel=1e-7)
+    sol_d, info_d = scs_tpu.solve(p.problem, spec, p.cone_data, stg)
+    prob_s = dataclasses.replace(
+        p.problem,
+        A=(sps.sparse_from_dense(np.asarray(p.problem.A)) if sparse_A
+           else p.problem.A),
+        P=sps.sparse_from_scipy(P_sp))
+    sol_s, info_s = scs_tpu.solve(prob_s, spec, p.cone_data, stg)
+    assert info_d.status_val == config.SOLVED
+    assert info_s.status_val == config.SOLVED
+    assert abs(info_s.pobj - info_d.pobj) < 1e-5 * (1 + abs(info_d.pobj))
+    np.testing.assert_allclose(sol_s.x, sol_d.x, atol=1e-4, rtol=1e-4)
+
+
+def test_sparse_P_diagonal_and_symmetry_validation():
+    P = _rand_sparse_psd(33, seed=5)
+    S = sps.sparse_from_scipy(P)
+    np.testing.assert_allclose(np.asarray(S.diagonal()),
+                               P.diagonal(), atol=1e-14)
+    # asymmetric sparse P must be rejected by the matvec-probe check
+    rng = np.random.RandomState(7)
+    Q = sp.random(12, 12, density=0.3, random_state=rng,
+                  data_rvs=rng.randn).tocsc()
+    prob = scs_tpu.Problem(
+        A=-np.eye(12), b=np.zeros(12), c=np.ones(12),
+        P=sps.sparse_from_scipy(Q))
+    with pytest.raises(ValidationError, match="symmetric"):
+        scs_tpu.Workspace(prob, ConeSpec(l=12),
+                          settings=Settings(linsys="indirect"))
+
+
+def test_sparse_P_indefinite_rejected():
+    """The matrix-free convexity probe (LOBPCG on SparseA matmat) must
+    flag an indefinite sparse P at setup."""
+    n = 16
+    D = sp.diags(np.r_[np.ones(n - 1), -1.0]).tocsc()
+    prob = scs_tpu.Problem(
+        A=-np.eye(n), b=np.zeros(n), c=np.ones(n),
+        P=sps.sparse_from_scipy(D))
+    with pytest.raises(ValidationError, match="positive"):
+        scs_tpu.Workspace(prob, ConeSpec(l=n),
                           settings=Settings(linsys="indirect"))
 
 
