@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops import eigh_ds
+from ..ops import eigh_ds, ozaki
 
 _SQRT2 = np.sqrt(2.0)
 
@@ -101,16 +101,26 @@ def proj_psd_batch(v: jnp.ndarray, ns: int,
 
     M = jax.vmap(lambda vi: svec_to_mat(vi, ns))(v)
     if f32_eig:
-        # keep the WHOLE fast path (eigh + reconstruction) in f32 — the
-        # reconstruction matmul in f64 would be software-emulated at
-        # 10-35x the cost, defeating the mixed fast phase
+        # keep the WHOLE fast path (eigh + reconstruction) in f32: the
+        # fast phase doesn't need more accuracy, and f32 halves traffic
         w, V = jnp.linalg.eigh(M.astype(jnp.float32))
     else:
         w, V = _eigh_accurate(M)
     w = jnp.maximum(w, 0.0)
-    Mp = jnp.einsum("bij,bj,bkj->bik", V, w, V,
-                    precision=jax.lax.Precision.HIGHEST).astype(dtype)
+    Mp = _reconstruct(V, w, dtype)
     return jax.vmap(lambda Mi: mat_to_svec(Mi, ns))(Mp)
+
+
+def _reconstruct(V, w, dtype):
+    """V diag(w) V' for batched (ct, n, n) V. On TPU in f64 this is the
+    Ozaki MXU product (ops/ozaki.py) — measured ~equal to XLA's own f64
+    einsum lowering but with an explicit k-independent exactness bound;
+    elsewhere the native fused einsum."""
+    if V.dtype == jnp.float64 and ozaki.supported() and V.shape[-1] >= 16:
+        return ozaki.ozaki_matmul(V * w[..., None, :],
+                                  jnp.swapaxes(V, -1, -2))
+    return jnp.einsum("bij,bj,bkj->bik", V, w, V,
+                      precision=jax.lax.Precision.HIGHEST).astype(dtype)
 
 
 @functools.lru_cache(maxsize=None)
@@ -189,6 +199,5 @@ def proj_cpsd_batch(v: jnp.ndarray, ns: int,
     else:
         w, V = _eigh_accurate(E)
     w = jnp.maximum(w, 0.0)
-    Ep = jnp.einsum("bij,bj,bkj->bik", V, w, V,
-                    precision=jax.lax.Precision.HIGHEST).astype(dtype)
+    Ep = _reconstruct(V, w, dtype)
     return jax.vmap(unembed)(v, Ep)

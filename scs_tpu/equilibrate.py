@@ -66,30 +66,30 @@ def _apply_limit(x):
 
 
 def _row_abs_max(M):
-    from .ops.sparse import ell_row_abs_max, is_sparse
+    from .ops.sparse import is_sparse
     if is_sparse(M):
-        return ell_row_abs_max(M.fwd)
+        return M.row_abs_max()
     return jnp.max(jnp.abs(M), axis=1)
 
 
 def _col_abs_max(M):
-    from .ops.sparse import ell_col_abs_max, is_sparse
+    from .ops.sparse import is_sparse
     if is_sparse(M):
-        return ell_col_abs_max(M.fwd)
+        return M.col_abs_max()
     return jnp.max(jnp.abs(M), axis=0)
 
 
 def _row_sumsq(M):
-    from .ops.sparse import ell_row_sumsq, is_sparse
+    from .ops.sparse import is_sparse
     if is_sparse(M):
-        return ell_row_sumsq(M.fwd)
+        return M.row_sumsq()
     return jnp.sum(M * M, axis=1)
 
 
 def _col_sumsq(M):
-    from .ops.sparse import ell_col_sumsq, is_sparse
+    from .ops.sparse import is_sparse
     if is_sparse(M):
-        return ell_col_sumsq(M.fwd)
+        return M.col_sumsq()
     return jnp.sum(M * M, axis=0)
 
 

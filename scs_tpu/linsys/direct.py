@@ -28,7 +28,7 @@ from typing import Any, NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
-from ..ops import dsmatvec
+from ..ops import dsmatvec, ozaki
 
 METHOD_NAME = "dense-direct-schur-cholesky"
 
@@ -59,9 +59,16 @@ def precompute(A, P, n_zero: int):
             "use linsys='indirect' for sparse (blocked-ELL) storage — the "
             "matrix-free path, matching the reference's sparse backends")
     Az = A[:n_zero]
-    K = A.T @ A
-    if n_zero:
-        K = K + 999.0 * (Az.T @ Az)
+    if A.dtype == jnp.float64 and ozaki.supported():
+        # f64 Gram on the MXU (ops/ozaki.py): ~1.5x XLA's f64 dot on the
+        # tall Gram shape, with an explicit exactness bound
+        K = ozaki.gram(A)
+        if n_zero:
+            K = K + 999.0 * ozaki.gram(Az)
+    else:
+        K = A.T @ A
+        if n_zero:
+            K = K + 999.0 * (Az.T @ Az)
     if dsmatvec.supported():
         return DirectCache(K, dsmatvec.split_operand(A),
                            dsmatvec.split_operand(A.T),

@@ -32,8 +32,8 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import dsmatvec
-from ..ops.sparse import (DsBlocked, ds_ell_matvec, ds_split_ell,
-                          ell_col_sumsq, is_sparse)
+from ..ops.sparse import (DsSparse, ds_split_sparse, ds_sparse_matvec,
+                          is_sparse)
 
 METHOD_NAME = "dense-indirect-jacobi-pcg"
 
@@ -64,9 +64,9 @@ def precompute(A, P, n_zero: int):
     if is_sparse(A):
         m = A.shape[0]
         w = jnp.where(jnp.arange(m) < n_zero, 1000.0, 1.0).astype(A.dtype)
-        d = ell_col_sumsq(A.fwd, w)
+        d = A.col_sumsq(w)
         if dsmatvec.supported():
-            return IndirectCache(d, ds_split_ell(A.fwd), ds_split_ell(A.bwd))
+            return IndirectCache(d, ds_split_sparse(A), ds_split_sparse(A.T))
         return IndirectCache(d, None, None)
     d = jnp.sum(A * A, axis=0)
     if n_zero:
@@ -104,8 +104,8 @@ def _mat_vec(A, P, diag_r, x):
 
 
 def _A_matvec(mats, x):
-    if isinstance(mats.cache.ds_fwd, DsBlocked):
-        return ds_ell_matvec(mats.cache.ds_fwd, x)
+    if isinstance(mats.cache.ds_fwd, DsSparse):
+        return ds_sparse_matvec(mats.cache.ds_fwd, x)
     if mats.cache.ds_fwd is not None:
         m, n = mats.A.shape
         return dsmatvec.ds_matvec(mats.cache.ds_fwd, x, m, n)
@@ -113,8 +113,8 @@ def _A_matvec(mats, x):
 
 
 def _At_matvec(mats, z):
-    if isinstance(mats.cache.ds_bwd, DsBlocked):
-        return ds_ell_matvec(mats.cache.ds_bwd, z)
+    if isinstance(mats.cache.ds_bwd, DsSparse):
+        return ds_sparse_matvec(mats.cache.ds_bwd, z)
     if mats.cache.ds_bwd is not None:
         m, n = mats.A.shape
         return dsmatvec.ds_matvec(mats.cache.ds_bwd, z, n, m)

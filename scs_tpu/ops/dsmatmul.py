@@ -3,14 +3,16 @@
 Companion to ops/dsmatvec.py for matrix-matrix products: computes
 C = A @ B with both operands and the accumulation in double-single
 arithmetic (hi + lo f32 pairs, ~2^-48 relative), entirely on the VPU
-with error-free transformations — the MXU cannot produce error-free
-products, and TPU f64 matmuls are software-emulated at ~100x this
-kernel's cost.
+with error-free transformations.
 
-Why it exists: the eigendecomposition refinement path (ops/eigh_ds.py)
-needs a handful of n x n products at better-than-f32 accuracy per PSD
-projection; with f64 emulated matmuls those dominate the SDP polish
-phase. Cost model: ~32 VPU flops per output element per contraction
+Status: SUPERSEDED on the hot paths by ops/ozaki.py, which reaches the
+same accuracy on the MXU and measures faster at every production shape
+(n=512: 2.0 ms vs 3.1 ms; hardware survey in docs/PERFORMANCE.md —
+which also found XLA's own f64 matmul lowering is far better than its
+f64 matVEC lowering, within ~25% of this kernel). Kept as the VPU
+reference implementation and for its interpret-mode tests.
+
+Cost model: ~32 VPU flops per output element per contraction
 step — n=512 costs ~4 GFLOP, about a millisecond-scale VPU burst.
 
 Layout: batched rank-3 operands from the start (grid B x m/bm x n/bn

@@ -7,7 +7,7 @@ residuals in BOTH precisions, and the f64 variant costs ~33x the f32 one
 than 1e-5. This module takes the cheap f32 eigendecomposition and runs
 Ogita & Aishima's refinement (SIAM J. Matrix Anal. 2018): per sweep,
 
-    R = I - X'X,  S = X'AX          (double-single matmuls, ~1e-13)
+    R = I - X'X,  S = X'AX          (high-precision matmuls, ~1e-14)
     lam_i = S_ii / (1 - R_ii)
     E_ij  = (S_ij + lam_j R_ij) / (lam_j - lam_i)   (separated pairs)
     E_ij  = R_ij / 2                                 (clustered pairs)
@@ -19,9 +19,11 @@ intra-cluster rotation — harmless for spectral functions (PSD clip,
 logdet), whose value depends only on the eigenspaces of distinct
 eigenvalues up to the cluster width.
 
-Cost at n=500: ~9 ds matmuls (two sweeps + a QA pass) ~ 15 ms of VPU
-time + 16 ms f32 eigh, versus ~515 ms for the LESS accurate native f64
-eigh — and residuals land at ~1e-12 instead of ~1e-5.
+The high-precision matmuls are Ozaki-scheme MXU products (ops/ozaki.py):
+~36 full-speed bf16 matmuls per f64-grade product instead of a software-
+emulated f64 matmul or the earlier VPU double-single kernel. Versus the
+native f64 eigh (~515 ms at n=500, ~1e-5 residuals) the refined path is
+both much faster and ~1e-12-accurate.
 
 A batch-level quality gate (max |I - X'X| and the eigenvalue residual
 proxy) falls back to native f64 eigh for the whole batch when the
@@ -36,7 +38,9 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from . import dsmatmul
+from . import ozaki
+
+_mm = ozaki.ozaki_matmul
 
 # relative eigenvalue-gap thresholds per sweep: sweep 1 starts from
 # f32-eigh error (~1e-5 ||A||), so gaps below ~1e-3 ||A|| would amplify
@@ -50,10 +54,10 @@ def _sweep(A, X, sep_tol):
     n = A.shape[-1]
     dtype = A.dtype
     eye = jnp.eye(n, dtype=dtype)
-    XtX = dsmatmul.ds_matmul(jnp.swapaxes(X, -1, -2), X)
+    XtX = _mm(jnp.swapaxes(X, -1, -2), X)
     R = eye - XtX
-    AX = dsmatmul.ds_matmul(A, X)
-    S = dsmatmul.ds_matmul(jnp.swapaxes(X, -1, -2), AX)
+    AX = _mm(A, X)
+    S = _mm(jnp.swapaxes(X, -1, -2), AX)
     rdiag = jnp.diagonal(R, axis1=-2, axis2=-1)
     lam = jnp.diagonal(S, axis1=-2, axis2=-1) / (1.0 - rdiag)
     nrm = jnp.max(jnp.abs(lam), axis=-1, keepdims=True)[..., None]
@@ -62,7 +66,7 @@ def _sweep(A, X, sep_tol):
     denom = jnp.where(sep, delta, 1.0)
     E_sep = (S + lam[..., None, :] * R) / denom
     E = jnp.where(sep, E_sep, R / 2.0)
-    X_new = X + dsmatmul.ds_matmul(X, E)
+    X_new = X + _mm(X, E)
     return lam, X_new, R
 
 
@@ -89,7 +93,7 @@ def eigh_refined(A, sweeps: int = 2):
     # quality gate: orthogonality defect of the FINAL X
     n = A.shape[-1]
     eye = jnp.eye(n, dtype=dtype)
-    XtX = dsmatmul.ds_matmul(jnp.swapaxes(X, -1, -2), X)
+    XtX = _mm(jnp.swapaxes(X, -1, -2), X)
     orth = jnp.max(jnp.abs(XtX - eye))
 
     def extra_sweep(args):
@@ -106,4 +110,4 @@ def eigh_refined(A, sweeps: int = 2):
 
 
 def supported() -> bool:
-    return dsmatmul.supported()
+    return ozaki.supported()

@@ -239,15 +239,66 @@ def ds_split_ell(ell: BlockedEll) -> DsBlocked:
                      bm=ell.bm, bn=ell.bn, kmax=ell.kmax, k_logical=K)
 
 
-def ds_ell_matvec(ds: DsBlocked, x):
-    """y = A @ x, ~1e-13-relative accurate, via the batched ds kernel."""
+def ds_ell_matvec(ds: DsBlocked, x, interpret: bool = False):
+    """y = A @ x, ~1e-13-relative accurate, via the batched ds kernel.
+
+    interpret runs the Pallas kernel in interpreter mode (CPU tests)."""
     ncb = -(-ds.n // ds.bn)
     xp = jnp.zeros((ncb * ds.bn,), x.dtype).at[: ds.n].set(x)
     xg = xp.reshape(ncb, ds.bn)[ds.idx].reshape(
         ds.idx.shape[0], ds.kmax * ds.bn)
     y = dsmatvec._ds_matvec_batched(ds.hi, ds.lo, xg, m=ds.bm,
-                                    n=ds.k_logical)
+                                    n=ds.k_logical, interpret=interpret)
     return y.reshape(-1)[: ds.m]
+
+
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=("ell", "rows_split", "cols_split"),
+    meta_fields=("rows_idx", "cols_idx"))
+@dataclasses.dataclass(frozen=True)
+class DsSparse:
+    """ds (f64-accurate f32) operand for ONE apply direction of a SparseA
+    with dense tails: blocked-ELL kernel + dense ds matvecs for the tails
+    scattered/added at static indices."""
+
+    ell: DsBlocked
+    rows_split: Optional[tuple]      # split_operand(rows_val) or None
+    cols_split: Optional[tuple]      # split_operand(cols_val) or None
+    rows_idx: tuple
+    cols_idx: tuple
+
+
+def ds_split_sparse(A: "SparseA") -> DsSparse:
+    """Build the ds operand for the FORWARD direction of A (call on A.T
+    for the transpose direction)."""
+    return DsSparse(
+        ell=ds_split_ell(A.fwd),
+        rows_split=(None if A.rows_val is None
+                    else dsmatvec.split_operand(A.rows_val)),
+        cols_split=(None if A.cols_val is None
+                    else dsmatvec.split_operand(A.cols_val)),
+        rows_idx=A.rows_idx, cols_idx=A.cols_idx)
+
+
+def ds_sparse_matvec(ds: DsSparse, x, interpret: bool = False):
+    """y = A @ x (~1e-13-relative) combining ELL kernel + dense tails."""
+    y = ds_ell_matvec(ds.ell, x, interpret=interpret)
+    m, n = ds.ell.m, ds.ell.n
+
+    def _tail_mv(split, v, mm, nn):
+        if interpret:
+            return dsmatvec._ds_matvec_padded(split[0], split[1], v,
+                                              m=mm, n=nn, interpret=True)
+        return dsmatvec.ds_matvec(split, v, mm, nn)
+
+    if ds.rows_split is not None:
+        y = y.at[jnp.asarray(ds.rows_idx)].add(
+            _tail_mv(ds.rows_split, x, len(ds.rows_idx), n))
+    if ds.cols_split is not None:
+        y = y + _tail_mv(ds.cols_split, x[jnp.asarray(ds.cols_idx)], m,
+                         len(ds.cols_idx))
+    return y
 
 
 # ---------------------------------------------------------------------------
@@ -256,20 +307,38 @@ def ds_ell_matvec(ds: DsBlocked, x):
 
 @functools.partial(
     jax.tree_util.register_dataclass,
-    data_fields=("fwd", "bwd"),
-    meta_fields=())
+    data_fields=("fwd", "bwd", "rows_val", "cols_val"),
+    meta_fields=("rows_idx", "cols_idx"))
 @dataclasses.dataclass(frozen=True)
 class SparseA:
-    """Sparse constraint matrix with both application directions stored.
+    """Sparse constraint matrix with both application directions stored,
+    plus optional DENSE row/column tails.
 
     Quacks like the dense A everywhere the solver touches it: `.shape`,
     `.dtype`, `A @ x`, `A.T @ z`, `.astype`. The solver's linear-system
     and equilibration layers dispatch on this type for the structure-
     aware operations (norms, scaling, preconditioner diagonals).
+
+    Dense tails (the hybrid split operand): blocked-ELL pads every
+    block-row to the global worst-case tile count, so a single dense row
+    (a sum/budget constraint, a normalization row) would densify the
+    WHOLE storage. The reference's CSC never has this failure mode
+    (/root/reference/linsys/csparse.c stores exactly nnz); the TPU-native
+    equivalent is A = S + rows + cols where S stays blocked-ELL and the
+    extracted dense rows (rows_val, at static row indices rows_idx) and
+    dense columns (cols_val, at cols_idx) are small dense matrices whose
+    applies are MXU matvecs + static-index scatters. Every structural
+    operation (norms, scaling, diagonal, ds splits) combines all three
+    parts; entries live in EXACTLY one part (rows are extracted first,
+    then columns from the remainder), so additive combinations are exact.
     """
 
-    fwd: BlockedEll          # A
-    bwd: BlockedEll          # A'
+    fwd: BlockedEll          # A (minus extracted tails)
+    bwd: BlockedEll          # A' (minus extracted tails)
+    rows_val: Optional[jax.Array] = None   # (dr, n) dense rows of A
+    cols_val: Optional[jax.Array] = None   # (m, dc) dense cols of A
+    rows_idx: tuple = ()     # static row indices (len dr)
+    cols_idx: tuple = ()     # static col indices (len dc)
 
     @property
     def shape(self):
@@ -281,43 +350,208 @@ class SparseA:
 
     @property
     def T(self) -> "SparseA":
-        return SparseA(fwd=self.bwd, bwd=self.fwd)
+        return SparseA(
+            fwd=self.bwd, bwd=self.fwd,
+            rows_val=None if self.cols_val is None else self.cols_val.T,
+            cols_val=None if self.rows_val is None else self.rows_val.T,
+            rows_idx=self.cols_idx, cols_idx=self.rows_idx)
 
     def __matmul__(self, x):
         if getattr(x, "ndim", 1) == 2:
-            return ell_matmat(self.fwd, x)
-        return ell_matvec(self.fwd, x)
+            y = ell_matmat(self.fwd, x)
+            if self.rows_val is not None:
+                y = y.at[jnp.asarray(self.rows_idx)].add(
+                    self.rows_val @ x.astype(self.dtype))
+            if self.cols_val is not None:
+                y = y + self.cols_val @ x[jnp.asarray(self.cols_idx)].astype(
+                    self.dtype)
+            return y
+        y = ell_matvec(self.fwd, x)
+        if self.rows_val is not None:
+            y = y.at[jnp.asarray(self.rows_idx)].add(
+                self.rows_val @ x.astype(self.dtype))
+        if self.cols_val is not None:
+            y = y + self.cols_val @ x[jnp.asarray(self.cols_idx)].astype(
+                self.dtype)
+        return y
 
     def abs_max(self):
-        return jnp.max(jnp.abs(self.fwd.data))
+        r = jnp.max(jnp.abs(self.fwd.data))
+        if self.rows_val is not None:
+            r = jnp.maximum(r, jnp.max(jnp.abs(self.rows_val)))
+        if self.cols_val is not None:
+            r = jnp.maximum(r, jnp.max(jnp.abs(self.cols_val)))
+        return r
 
     def diagonal(self):
-        return ell_diagonal(self.fwd)
+        d = ell_diagonal(self.fwd)
+        nd = d.shape[0]
+        if self.rows_val is not None:
+            ri = np.asarray(self.rows_idx)
+            keep = ri < nd
+            d = d.at[jnp.asarray(ri[keep])].add(
+                self.rows_val[jnp.asarray(np.nonzero(keep)[0]),
+                              jnp.asarray(ri[keep])])
+        if self.cols_val is not None:
+            ci = np.asarray(self.cols_idx)
+            keep = ci < nd
+            d = d.at[jnp.asarray(ci[keep])].add(
+                self.cols_val[jnp.asarray(ci[keep]),
+                              jnp.asarray(np.nonzero(keep)[0])])
+        return d
+
+    # -- structure-aware reductions (combine ELL part + tails) --
+
+    def row_abs_max(self):
+        r = ell_row_abs_max(self.fwd)
+        if self.rows_val is not None:
+            r = r.at[jnp.asarray(self.rows_idx)].max(
+                jnp.max(jnp.abs(self.rows_val), axis=1))
+        if self.cols_val is not None:
+            r = jnp.maximum(r, jnp.max(jnp.abs(self.cols_val), axis=1))
+        return r
+
+    def col_abs_max(self):
+        return self.T.row_abs_max()
+
+    def row_sumsq(self):
+        r = ell_row_sumsq(self.fwd)
+        if self.rows_val is not None:
+            r = r.at[jnp.asarray(self.rows_idx)].add(
+                jnp.sum(self.rows_val * self.rows_val, axis=1))
+        if self.cols_val is not None:
+            r = r + jnp.sum(self.cols_val * self.cols_val, axis=1)
+        return r
+
+    def col_sumsq(self, row_weights=None):
+        """sum_r w_r * A_rc^2 per column (Jacobi preconditioner build)."""
+        r = ell_col_sumsq(self.fwd, row_weights)
+        if self.rows_val is not None:
+            rv2 = self.rows_val * self.rows_val
+            if row_weights is not None:
+                rv2 = rv2 * row_weights[jnp.asarray(self.rows_idx)][:, None]
+            r = r + jnp.sum(rv2, axis=0)
+        if self.cols_val is not None:
+            cv2 = self.cols_val * self.cols_val
+            if row_weights is not None:
+                cv2 = cv2 * row_weights[:, None]
+            r = r.at[jnp.asarray(self.cols_idx)].add(jnp.sum(cv2, axis=0))
+        return r
+
+    def scale(self, D, E) -> "SparseA":
+        """diag(D) @ A @ diag(E), all parts, both directions."""
+        out = SparseA(fwd=ell_scale(self.fwd, D, E),
+                      bwd=ell_scale(self.bwd, E, D),
+                      rows_idx=self.rows_idx, cols_idx=self.cols_idx)
+        rv, cv = self.rows_val, self.cols_val
+        if rv is not None:
+            rv = rv * D[jnp.asarray(self.rows_idx)][:, None] * E[None, :]
+        if cv is not None:
+            cv = cv * D[:, None] * E[jnp.asarray(self.cols_idx)][None, :]
+        return dataclasses.replace(out, rows_val=rv, cols_val=cv)
 
     def astype(self, dtype) -> "SparseA":
         return SparseA(
             fwd=dataclasses.replace(self.fwd,
                                     data=self.fwd.data.astype(dtype)),
             bwd=dataclasses.replace(self.bwd,
-                                    data=self.bwd.data.astype(dtype)))
+                                    data=self.bwd.data.astype(dtype)),
+            rows_val=(None if self.rows_val is None
+                      else self.rows_val.astype(dtype)),
+            cols_val=(None if self.cols_val is None
+                      else self.cols_val.astype(dtype)),
+            rows_idx=self.rows_idx, cols_idx=self.cols_idx)
+
+    def all_finite(self) -> bool:
+        ok = bool(np.all(np.isfinite(np.asarray(self.fwd.data))))
+        for t in (self.rows_val, self.cols_val):
+            if t is not None:
+                ok = ok and bool(np.all(np.isfinite(np.asarray(t))))
+        return ok
 
     def nnz_stored(self) -> int:
-        return self.fwd.nnz_stored() + self.bwd.nnz_stored()
+        s = self.fwd.nnz_stored() + self.bwd.nnz_stored()
+        for t in (self.rows_val, self.cols_val):
+            if t is not None:
+                s += int(np.prod(t.shape))
+        return s
 
 
 def is_sparse(A) -> bool:
     return isinstance(A, SparseA)
 
 
+# tail-extraction heuristic: a row/column is "dense" when its nnz exceeds
+# both this many column-blocks' worth of entries and this multiple of the
+# mean — one such row otherwise pads EVERY block-row to its tile count
+_TAIL_MIN_NNZ_BLOCKS = 4       # x bn entries
+_TAIL_MEAN_MULT = 16.0
+_TAIL_MAX = 128                # cap: tails are meant to be a few lines
+
+
+def _pick_tails(counts, axis_len, other_len, bn, explicit):
+    """Indices to extract as dense tails along one axis.
+
+    explicit: None -> auto heuristic; sequence -> exactly those; [] / ()
+    -> extraction disabled."""
+    if explicit is not None:
+        return np.asarray(sorted(set(int(i) for i in explicit)), np.int64)
+    if counts.size == 0 or other_len <= _TAIL_MIN_NNZ_BLOCKS * bn:
+        return np.zeros(0, np.int64)
+    thresh = max(_TAIL_MIN_NNZ_BLOCKS * bn,
+                 _TAIL_MEAN_MULT * counts.mean())
+    cand = np.nonzero(counts > thresh)[0]
+    if cand.size > _TAIL_MAX:
+        cand = cand[np.argsort(counts[cand])[::-1][:_TAIL_MAX]]
+        cand = np.sort(cand)
+    return cand.astype(np.int64)
+
+
 def sparse_from_scipy(A_sp, bm: int = 8, bn: int = 128,
-                      dtype=jnp.float64) -> SparseA:
-    """Build a SparseA from any scipy.sparse matrix."""
+                      dtype=jnp.float64, dense_rows=None,
+                      dense_cols=None) -> SparseA:
+    """Build a SparseA from any scipy.sparse matrix.
+
+    dense_rows / dense_cols: None (default) auto-detects rows/columns
+    dense enough to pad the blocked-ELL storage (see SparseA docstring)
+    and extracts them into dense tails; pass explicit index sequences to
+    control extraction, or [] to disable.
+    """
     coo = A_sp.tocoo()
     coo.sum_duplicates()  # ell_from_coo assumes unique coordinates
     m, n = coo.shape
-    fwd = ell_from_coo(coo.row, coo.col, coo.data, m, n, bm, bn, dtype)
-    bwd = ell_from_coo(coo.col, coo.row, coo.data, n, m, bm, bn, dtype)
-    return SparseA(fwd=fwd, bwd=bwd)
+    rows, cols, vals = (np.asarray(coo.row, np.int64),
+                        np.asarray(coo.col, np.int64),
+                        np.asarray(coo.data, np.float64))
+
+    ri = _pick_tails(np.bincount(rows, minlength=m), m, n, bn, dense_rows)
+    in_rows = np.isin(rows, ri)
+    ci = _pick_tails(np.bincount(cols[~in_rows], minlength=n), n, m, bn,
+                     dense_cols)
+    in_cols = np.isin(cols, ci) & ~in_rows
+
+    rows_val = None
+    if ri.size:
+        rows_val = np.zeros((ri.size, n))
+        rmap = {int(r): k for k, r in enumerate(ri)}
+        sel = in_rows
+        rows_val[[rmap[int(r)] for r in rows[sel]], cols[sel]] = vals[sel]
+        rows_val = jnp.asarray(rows_val, dtype)
+    cols_val = None
+    if ci.size:
+        cols_val = np.zeros((m, ci.size))
+        cmap = {int(c): k for k, c in enumerate(ci)}
+        sel = in_cols
+        cols_val[rows[sel], [cmap[int(c)] for c in cols[sel]]] = vals[sel]
+        cols_val = jnp.asarray(cols_val, dtype)
+
+    keep = ~in_rows & ~in_cols
+    r_k, c_k, v_k = rows[keep], cols[keep], vals[keep]
+    fwd = ell_from_coo(r_k, c_k, v_k, m, n, bm, bn, dtype)
+    bwd = ell_from_coo(c_k, r_k, v_k, n, m, bm, bn, dtype)
+    return SparseA(fwd=fwd, bwd=bwd, rows_val=rows_val, cols_val=cols_val,
+                   rows_idx=tuple(int(i) for i in ri),
+                   cols_idx=tuple(int(i) for i in ci))
 
 
 def sparse_from_dense(A, bm: int = 8, bn: int = 128,
@@ -334,5 +568,5 @@ def sparse_from_dense(A, bm: int = 8, bn: int = 128,
 
 
 def scale_sparse(A: SparseA, D, E) -> SparseA:
-    """diag(D) @ A @ diag(E), applied to both stored directions."""
-    return SparseA(fwd=ell_scale(A.fwd, D, E), bwd=ell_scale(A.bwd, E, D))
+    """diag(D) @ A @ diag(E), applied to all stored parts."""
+    return A.scale(D, E)

@@ -34,7 +34,7 @@ def validate(problem: Problem, spec: ConeSpec, cone_data, stg: Settings) -> None
             raise ValidationError(
                 "sparse (blocked-ELL) A requires linsys='indirect' (the "
                 "matrix-free path); the direct backend forms a dense Gram")
-        if not bool(np.all(np.isfinite(np.asarray(problem.A.fwd.data)))):
+        if not problem.A.all_finite():
             raise ValidationError("A contains non-finite entries")
     if sparse_P and stg.linsys != "indirect":
         raise ValidationError(
@@ -45,20 +45,19 @@ def validate(problem: Problem, spec: ConeSpec, cone_data, stg: Settings) -> None
             raise ValidationError(
                 f"P must have shape ({n}, {n}), got {problem.P.shape}")
         if sparse_P:
-            Pd = np.asarray(problem.P.fwd.data)
-            if not np.all(np.isfinite(Pd)):
+            if not problem.P.all_finite():
                 raise ValidationError("P contains non-finite entries")
             # structure-aware symmetry check: P symmetric iff its stored
-            # forward and transpose directions agree as operators; the
-            # ELL layouts are built from (row, col) and (col, row) of the
-            # same triplets, so comparing a few random matvecs of each
-            # catches any asymmetry without densifying
+            # forward and transpose directions agree as operators (the
+            # two directions — and any dense tails — are built from
+            # (row, col) and (col, row) of the same triplets), so
+            # comparing a few random matvecs of P and P' catches any
+            # asymmetry without densifying
             rng = np.random.RandomState(0)
             Z = rng.randn(n, 3)
-            from .ops.sparse import ell_matmat
-            fz = np.asarray(ell_matmat(problem.P.fwd, Z))
-            bz = np.asarray(ell_matmat(problem.P.bwd, Z))
-            scale = np.abs(Pd).max() + 1.0
+            fz = np.asarray(problem.P @ Z)
+            bz = np.asarray(problem.P.T @ Z)
+            scale = float(problem.P.abs_max()) + 1.0
             if not np.allclose(fz, bz, rtol=0, atol=1e-9 * scale):
                 raise ValidationError(
                     "P must be symmetric (pass the full matrix; the "

@@ -8,6 +8,7 @@ dense A."""
 import numpy as np
 import pytest
 import scipy.sparse as sp
+import jax.numpy as jnp
 
 import scs_tpu
 from scs_tpu import config
@@ -242,3 +243,149 @@ def test_read_scs_data_sparse_rejects_corrupt(tmp_path):
     from scs_tpu.io import read_scs_data
     with pytest.raises(ValueError, match="CSC"):
         read_scs_data(f, storage="sparse")
+
+
+# ---------------------------------------------------------------------------
+# dense row/column tails (the hybrid split operand)
+
+
+def _tails_fixture(m=70, n=60, seed=9, dense_rows=(3, 41), dense_cols=(0, 17)):
+    """Random sparse matrix with designated rows/cols made fully dense."""
+    rng = np.random.RandomState(seed)
+    A = sp.random(m, n, density=0.08, random_state=rng,
+                  data_rvs=rng.randn).tolil()
+    for r in dense_rows:
+        A[r, :] = rng.randn(n)
+    for c in dense_cols:
+        A[:, c] = rng.randn(m, 1)
+    A = A.tocsc()
+    S = sps.sparse_from_scipy(A, dense_rows=dense_rows,
+                              dense_cols=dense_cols)
+    return A, S
+
+
+def test_tails_operator_parity():
+    A, S = _tails_fixture()
+    m, n = A.shape
+    Ad = A.toarray()
+    assert S.rows_idx == (3, 41) and S.cols_idx == (0, 17)
+    rng = np.random.RandomState(1)
+    x = rng.randn(n)
+    z = rng.randn(m)
+    X = rng.randn(n, 4)
+    np.testing.assert_allclose(np.asarray(S @ x), Ad @ x, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(S.T @ z), Ad.T @ z, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(S @ X), Ad @ X, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(S.row_abs_max()),
+                               np.abs(Ad).max(axis=1), atol=1e-15)
+    np.testing.assert_allclose(np.asarray(S.col_abs_max()),
+                               np.abs(Ad).max(axis=0), atol=1e-15)
+    np.testing.assert_allclose(np.asarray(S.row_sumsq()),
+                               (Ad * Ad).sum(axis=1), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(S.col_sumsq()),
+                               (Ad * Ad).sum(axis=0), atol=1e-12)
+    w = np.abs(rng.randn(m)) + 0.5
+    np.testing.assert_allclose(np.asarray(S.col_sumsq(w)),
+                               (w[:, None] * Ad * Ad).sum(axis=0),
+                               atol=1e-12)
+    assert abs(float(S.abs_max()) - np.abs(Ad).max()) < 1e-15
+    D = np.abs(rng.randn(m)) + 0.5
+    E = np.abs(rng.randn(n)) + 0.5
+    Sc = S.scale(D, E)
+    np.testing.assert_allclose(np.asarray(Sc @ x),
+                               (D[:, None] * Ad * E[None, :]) @ x,
+                               atol=1e-12)
+    np.testing.assert_allclose(np.asarray(Sc.T @ z),
+                               (D[:, None] * Ad * E[None, :]).T @ z,
+                               atol=1e-12)
+
+
+def test_tails_diagonal_square():
+    rng = np.random.RandomState(4)
+    P = sp.random(40, 40, density=0.1, random_state=rng,
+                  data_rvs=rng.randn).tolil()
+    P[7, :] = rng.randn(40)
+    P = P.tocsc()
+    S = sps.sparse_from_scipy(P, dense_rows=(7,), dense_cols=())
+    np.testing.assert_allclose(np.asarray(S.diagonal()),
+                               P.toarray().diagonal(), atol=1e-14)
+
+
+def test_tails_auto_extraction_and_storage_win():
+    """A single dense row in a big sparse matrix must be auto-extracted;
+    without extraction blocked-ELL pads every block-row to the dense
+    row's tile count."""
+    rng = np.random.RandomState(2)
+    m = n = 4096
+    # block-banded structure (the sparsity blocked-ELL is built for):
+    # each row touches a +-192-column band -> ~4 column-blocks/block-row
+    rows, cols = [], []
+    for r in range(0, m, 16):
+        lo = max(0, r - 192)
+        hi = min(n, r + 192)
+        cs = rng.randint(lo, hi, size=24)
+        rows.extend([r + k % 16 for k in range(24)])
+        cols.extend(cs)
+    rows, cols = np.asarray(rows) % m, np.asarray(cols)
+    vals = rng.randn(rows.size)
+    A = sp.coo_matrix((vals, (rows, cols)), shape=(m, n)).tolil()
+    A[100, :] = rng.randn(n)           # one dense row
+    A = A.tocsc()
+    S_auto = sps.sparse_from_scipy(A)                      # heuristic on
+    S_off = sps.sparse_from_scipy(A, dense_rows=(), dense_cols=())
+    assert S_auto.rows_idx == (100,)
+    assert S_auto.nnz_stored() < S_off.nnz_stored() / 3
+    x = rng.randn(n)
+    np.testing.assert_allclose(np.asarray(S_auto @ x), A @ x, atol=1e-11)
+    np.testing.assert_allclose(np.asarray(S_auto.T @ x), A.T @ x,
+                               atol=1e-11)
+
+
+def test_tails_end_to_end_solve():
+    """LP with a dense budget row (sum x <= 1): sparse-with-tails solve
+    matches the dense solve."""
+    import dataclasses
+    rng = np.random.RandomState(5)
+    n, m_ineq = 50, 80
+    A_sp = sp.random(m_ineq, n, density=0.1, random_state=rng,
+                     data_rvs=rng.randn)
+    # budget row + sparse inequalities + lower bounds (-x <= 10) so the
+    # LP is bounded; x0 = small positive vector is strictly feasible
+    x0 = 0.01 * rng.rand(n)
+    A_full = sp.vstack([sp.csc_matrix(np.ones((1, n))), A_sp,
+                        -sp.eye(n)]).tocsc()
+    b = np.r_[x0.sum() + 0.5, A_sp @ x0 + np.abs(rng.randn(m_ineq)),
+              10.0 * np.ones(n)]
+    c = rng.randn(n)
+    spec = ConeSpec(l=m_ineq + 1 + n)
+    stg = Settings(linsys="indirect", eps_abs=1e-8, eps_rel=1e-8)
+    prob_d = scs_tpu.Problem(A=np.asarray(A_full.toarray()), b=b, c=c)
+    sol_d, info_d = scs_tpu.solve(prob_d, spec, None, stg)
+    prob_s = dataclasses.replace(
+        prob_d, A=sps.sparse_from_scipy(A_full, dense_rows=(0,)))
+    sol_s, info_s = scs_tpu.solve(prob_s, spec, None, stg)
+    assert info_d.status_val == config.SOLVED
+    assert info_s.status_val == config.SOLVED
+    assert abs(info_s.pobj - info_d.pobj) < 1e-5 * (1 + abs(info_d.pobj))
+    np.testing.assert_allclose(sol_s.x, sol_d.x, atol=1e-4, rtol=1e-4)
+
+
+def test_tails_ds_matvec_interpret():
+    """The f64-accurate (double-single) sparse matvec with dense tails:
+    Pallas kernels in interpreter mode, parity with the f64 operator."""
+    A, S = _tails_fixture(m=40, n=36, dense_rows=(2,), dense_cols=(5,))
+    Ad = A.toarray()
+    ds_f = sps.ds_split_sparse(S)
+    ds_b = sps.ds_split_sparse(S.T)
+    rng = np.random.RandomState(3)
+    x = rng.randn(36)
+    z = rng.randn(40)
+    yf = np.asarray(sps.ds_sparse_matvec(ds_f, jnp.asarray(x),
+                                         interpret=True))
+    yb = np.asarray(sps.ds_sparse_matvec(ds_b, jnp.asarray(z),
+                                         interpret=True))
+    # interpreter-mode f32 may contract into FMAs (see test_dsmatvec);
+    # only f32-grade accuracy is guaranteed here — the ~1e-13 hardware
+    # number is validated on the TPU
+    assert np.abs(yf - Ad @ x).max() < 1e-6 * np.abs(Ad @ x).max() + 1e-9
+    assert np.abs(yb - Ad.T @ z).max() < 1e-6 * np.abs(Ad.T @ z).max() + 1e-9
