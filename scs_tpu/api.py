@@ -439,6 +439,13 @@ class Workspace:
             info.cone_time = pm["cone_time_ms"] * info.iter
             info.accel_time = pm["accel_time_ms"] * (
                 info.iter // max(stg.acceleration_interval, 1))
+            # SPECTRAL_TIMING averages (scs.h:237-243): the reference
+            # divides accumulated totals by iterations; the standalone
+            # per-call ms here IS the per-iteration average
+            if "mat_cone_ms" in pm:
+                info.ave_time_matrix_cone_proj = pm["mat_cone_ms"]
+            if "vec_cone_ms" in pm:
+                info.ave_time_vector_cone_proj = pm["vec_cone_ms"]
         # persist adapted scale / diag_r for subsequent warm solves
         self.scale = float(st.scale)
         self.diag_r = st.diag_r
@@ -532,13 +539,89 @@ class Workspace:
             _np.asarray(out)
             return (time.perf_counter() - t0) / n_calls * 1e3
 
-        return {
+        out = {
             "lin_sys_time_ms": clock(lin, self._mats(), self.diag_r,
                                      self.derived, rhs),
             "cone_time_ms": clock(cone, self.data.cone,
                                   self.diag_r[n:n + m], vy),
             "accel_time_ms": clock(accel, aa0, v, v),
         }
+        out.update(self._profile_spectral(clock, rng, dtype))
+        return out
+
+    def _profile_spectral(self, clock, rng, dtype) -> dict:
+        """SPECTRAL_TIMING analog (cones.c:1345-1489, scs.h:237-243):
+        per-call ms of the matrix-cone projections and of the spectral
+        vector-cone projections, each timed standalone on this problem's
+        segment shapes (the reference tics/tocs around the same calls
+        inside proj_cone)."""
+        from .cones import psd as _psd, spectral as _sp
+        from .cones.project import _contiguous_runs
+
+        spec = self.spec
+        mixed = self._mixed
+
+        def seg(*shape):
+            return jnp.asarray(rng.randn(*shape), dtype)
+
+        mat_ms, vec_ms = 0.0, 0.0
+        has_mat, has_vec = False, False
+        for (sz, ct) in _contiguous_runs(spec.s):
+            if not sz:
+                continue
+            has_mat = True
+            mat_ms += clock(
+                jax.jit(lambda s_, sz=sz: _psd.proj_psd_batch(
+                    s_, sz, f32_eig=mixed)), seg(ct, sz * (sz + 1) // 2))
+        for (sz, ct) in _contiguous_runs(spec.cs):
+            if not sz:
+                continue
+            has_mat = True
+            mat_ms += clock(
+                jax.jit(lambda s_, sz=sz: _psd.proj_cpsd_batch(
+                    s_, sz, f32_eig=mixed)), seg(ct, sz * sz))
+        for (di, ct) in _contiguous_runs(spec.d):
+            has_mat = has_vec = True
+            mat_ms += clock(
+                jax.jit(lambda s_, di=di: _sp.proj_logdet_batch(
+                    s_, di, f32_eig=mixed)),
+                seg(ct, di * (di + 1) // 2 + 2))
+            def _vec_log(t_, v_, x_):
+                tp, vp, xp = jax.vmap(_sp.log_cone_newton)(t_, v_, x_)
+                return jnp.concatenate([tp, vp, xp.ravel()])
+
+            vec_ms += clock(jax.jit(_vec_log),
+                            seg(ct), jnp.abs(seg(ct)) + 1.0, seg(ct, di))
+        for ((mi, ni), ct) in _contiguous_runs(
+                list(zip(spec.nuc_m, spec.nuc_n))):
+            has_mat = has_vec = True
+            mat_ms += clock(
+                jax.jit(lambda s_, mi=mi, ni=ni: jax.vmap(
+                    lambda r: _sp.proj_nuclear(r, mi, ni, f32_eig=mixed)
+                )(s_)), seg(ct, mi * ni + 1))
+            vec_ms += clock(
+                jax.jit(lambda s_: jax.vmap(_sp.proj_ell1)(s_)),
+                seg(ct, min(mi, ni) + 1))
+        for ((si, ki), ct) in _contiguous_runs(
+                list(zip(spec.sl_n, spec.sl_k))):
+            has_mat = has_vec = True
+            mat_ms += clock(
+                jax.jit(lambda s_, si=si, ki=ki: jax.vmap(
+                    lambda r: _sp.proj_sum_largest_evals(
+                        r, si, ki, f32_eig=mixed))(s_)),
+                seg(ct, si * (si + 1) // 2 + 1))
+            def _vec_sl(r, ki=ki):
+                t_, x_ = _sp.proj_sum_largest_sorted(
+                    r[0], jnp.sort(r[1:])[::-1], ki)
+                return jnp.concatenate([t_[None], x_])
+
+            vec_ms += clock(jax.jit(jax.vmap(_vec_sl)), seg(ct, si + 1))
+        out = {}
+        if has_mat:
+            out["mat_cone_ms"] = mat_ms
+        if has_vec:
+            out["vec_cone_ms"] = vec_ms
+        return out
 
     def _print_header(self) -> None:
         """Init banner (mirrors print_init_header, scs.c:123-177)."""

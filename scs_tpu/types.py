@@ -206,6 +206,12 @@ class Info:
     lin_sys_time: float = float("nan")
     cone_time: float = float("nan")
     accel_time: float = float("nan")
+    # SPECTRAL_TIMING analog (scs.h:237-243): average ms per iteration in
+    # the matrix-cone projections (PSD/complex-PSD/logdet/nuclear/
+    # sum-largest-evals) and in the spectral vector-cone projections
+    # (log cone / sorted-ell1 / sum-largest); NaN when no such cones
+    ave_time_matrix_cone_proj: float = float("nan")
+    ave_time_vector_cone_proj: float = float("nan")
     scale: float = 0.0
     comp_slack: float = float("nan")
     rejected_accel_steps: int = 0

@@ -2,6 +2,8 @@
 (ports of lp_update.h, test_solver_options.h, test_validation.h,
 test_normalize_roundtrip.h)."""
 
+import math
+
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -257,3 +259,26 @@ def test_profile_phases():
     prof = w.profile(n_calls=3)
     assert set(prof) == {"lin_sys_time_ms", "cone_time_ms", "accel_time_ms"}
     assert all(v > 0 for v in prof.values())
+
+
+def test_profile_spectral_timing():
+    """SPECTRAL_TIMING analog (scs.h:237-243): matrix/vector cone
+    projection times appear iff spectral matrix cones are present, and
+    flow into Info under profile_phases."""
+    spec = ConeSpec(z=2, l=4, s=(6,), sl_n=(5,), sl_k=(2,))
+    p = gen_planted(spec, n=8, seed=23)
+    w = scs_tpu.Workspace(p.problem, spec, p.cone_data,
+                          Settings(profile_phases=True))
+    prof = w.profile(n_calls=2)
+    assert prof["mat_cone_ms"] > 0 and prof["vec_cone_ms"] > 0
+    _, info = w.solve()
+    assert info.ave_time_matrix_cone_proj > 0
+    assert info.ave_time_vector_cone_proj > 0
+    # no spectral cones -> fields stay NaN
+    spec2 = ConeSpec(l=6)
+    p2 = gen_planted(spec2, n=4, seed=5)
+    w2 = scs_tpu.Workspace(p2.problem, spec2, p2.cone_data,
+                           Settings(profile_phases=True))
+    assert "mat_cone_ms" not in w2.profile(n_calls=2)
+    _, info2 = w2.solve()
+    assert math.isnan(info2.ave_time_matrix_cone_proj)
