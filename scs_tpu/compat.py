@@ -58,8 +58,8 @@ def _parse_data(data: dict, storage: str = "dense") -> Problem:
     if "A" not in data or "b" not in data or "c" not in data:
         raise ValueError("data must contain 'A', 'b' and 'c'")
     if storage == "sparse":
-        # O(nnz_blocks) blocked-ELL storage: the matrix-free indirect path
-        # (requires linsys='indirect'; see ops/sparse.py). P, when given,
+        # O(nnz_blocks) blocked-ELL storage: the matrix-free sparse path
+        # (see ops/sparse.py; works with both backends). P, when given,
         # is stored sparsely too (scs-python passes upper-triangular CSC;
         # both conventions are accepted — symmetrize if upper-triangular).
         import scipy.sparse as _sp

@@ -91,7 +91,8 @@ def read_scs_data(filename: str, dtype=None, storage: str = "dense"):
     storage='sparse' keeps A (and P when present) in the O(nnz_blocks)
     blocked-ELL form (ops/sparse.SparseA) without ever materializing the
     dense matrices — the interchange path for problems too large for
-    dense storage (requires linsys='indirect' to solve).
+    dense storage. The indirect backend stays fully matrix-free; the
+    direct backend forms its dense n x n Schur Gram structure-aware.
     """
     if storage == "sparse":
         return _read_scs_data_py(filename, dtype, storage="sparse")

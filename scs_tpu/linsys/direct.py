@@ -11,6 +11,14 @@ present in the reference's cpu/dense backend
 with K = A'A + 999 A_z'A_z precomputed once (see linsys/__init__.py "Scale
 structure"), factored on diag-R updates, applied every iteration.
 
+Sparse (blocked-ELL) operands are supported: K is formed structure-aware
+(ops/sparse.ell_gram / sparse_gram — tile-pair products segment-summed
+into the block grid, O(nnz*kmax*bn) flops), sparse P is densified once
+at setup, and the mixed path's f64-accurate A-applies run the batched
+ds SpMV. Only the n x n factor itself is dense — the Schur design's
+footprint regardless of storage (the analog of the reference's sparse
+LDL' factor fill-in, linsys/cpu/direct/private.c:216-251).
+
 Mixed precision (TPU-native; no reference analog): with derive(mixed=True)
 the factor is the explicit f32 inverse G^{-1} (via Cholesky), so each
 solve is ONE (n, n) x (n,) matmul on the MXU — triangular solves are
@@ -29,6 +37,8 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import dsmatvec, ozaki
+from ..ops.sparse import (DsSparse, ds_split_sparse, ds_sparse_matvec,
+                          is_sparse, sparse_gram)
 
 METHOD_NAME = "dense-direct-schur-cholesky"
 
@@ -40,6 +50,9 @@ class DirectCache(NamedTuple):
     ds_fwd: Optional[Any]        # (hi, lo) split of A (pallas ds matvec)
     ds_bwd: Optional[Any]        # (hi, lo) split of A'
     ds_K: Optional[Any]          # (hi, lo) split of K
+    P_dense: Optional[Any] = None  # densified sparse P (factor is n x n
+    #                                dense anyway; sparse P only needs a
+    #                                structure-aware *formation*)
 
 # Two unrolled correction passes reach f64 round-off for moderately
 # conditioned G (each pass gains ~7 decades over the f32 factor). Unrolled,
@@ -50,14 +63,22 @@ REFINE_PASSES = 2
 
 def precompute(A, P, n_zero: int):
     """Scale-free Gram cache K = A'A + 999 A_z'A_z (invariant), plus the
-    double-single operand splits for the Pallas matvec fast path."""
-    del P
-    from ..ops.sparse import is_sparse
+    double-single operand splits for the Pallas matvec fast path.
+
+    Sparse (blocked-ELL) A: K is formed by the structure-aware tile-pair
+    Gram (ops/sparse.ell_gram, O(nnz*kmax*bn) flops) — the O(nnz)
+    *storage* survives; only the n x n factor is dense, which is the
+    Schur design's footprint regardless of A's storage. Sparse P is
+    densified once here for the same reason (G = ... + P is n x n)."""
+    P_dense = P.todense() if (P is not None and is_sparse(P)) else None
     if is_sparse(A):
-        raise ValueError(
-            "linsys='direct' requires dense A (the Schur Gram is dense); "
-            "use linsys='indirect' for sparse (blocked-ELL) storage — the "
-            "matrix-free path, matching the reference's sparse backends")
+        m = A.shape[0]
+        w = jnp.where(jnp.arange(m) < n_zero, 1000.0, 1.0).astype(A.dtype)
+        K = sparse_gram(A, w if n_zero else None)
+        if dsmatvec.supported():
+            return DirectCache(K, ds_split_sparse(A), ds_split_sparse(A.T),
+                               dsmatvec.split_operand(K), P_dense)
+        return DirectCache(K, None, None, None, P_dense)
     Az = A[:n_zero]
     if A.dtype == jnp.float64 and ozaki.supported():
         # f64 Gram on the MXU (ops/ozaki.py): ~1.5x XLA's f64 dot on the
@@ -72,15 +93,16 @@ def precompute(A, P, n_zero: int):
     if dsmatvec.supported():
         return DirectCache(K, dsmatvec.split_operand(A),
                            dsmatvec.split_operand(A.T),
-                           dsmatvec.split_operand(K))
-    return DirectCache(K, None, None, None)
+                           dsmatvec.split_operand(K), P_dense)
+    return DirectCache(K, None, None, None, P_dense)
 
 
 def _gram(mats, diag_r, scale):
     n = mats.A.shape[1]
     G = scale * mats.cache.K + jnp.diag(diag_r[:n])
-    if mats.P is not None:
-        G = G + mats.P
+    P = mats.cache.P_dense if mats.cache.P_dense is not None else mats.P
+    if P is not None:
+        G = G + P
     return G
 
 
@@ -99,6 +121,8 @@ def _gram_matvec(mats, diag_r, scale, x):
 
 
 def _A_matvec(mats, x):
+    if isinstance(mats.cache.ds_fwd, DsSparse):
+        return ds_sparse_matvec(mats.cache.ds_fwd, x)
     if mats.cache.ds_fwd is not None:
         m, n = mats.A.shape
         return dsmatvec.ds_matvec(mats.cache.ds_fwd, x, m, n)
@@ -106,6 +130,8 @@ def _A_matvec(mats, x):
 
 
 def _At_matvec(mats, z):
+    if isinstance(mats.cache.ds_bwd, DsSparse):
+        return ds_sparse_matvec(mats.cache.ds_bwd, z)
     if mats.cache.ds_bwd is not None:
         m, n = mats.A.shape
         return dsmatvec.ds_matvec(mats.cache.ds_bwd, z, n, m)

@@ -194,6 +194,102 @@ def ell_col_sumsq(ell: BlockedEll, row_weights=None):
     return _col_segments(ell, t, jax.ops.segment_sum)
 
 
+def ell_to_dense(ell: BlockedEll):
+    """Materialize the dense (m, n) matrix (block scatter-add; padding
+    slots point at block 0 with all-zero tiles, so `.add` is exact)."""
+    nbr, ncb = ell.data.shape[0], ell.ncb
+    d = ell.data.reshape(nbr, ell.bm, ell.kmax, ell.bn)
+    # advanced indices (nbr, 1) x (nbr, kmax) broadcast to (nbr, kmax)
+    # and, being separated by a slice, land in front: (nbr, kmax, bm, bn)
+    full = jnp.zeros((nbr, ncb, ell.bm, ell.bn), ell.data.dtype)
+    full = full.at[jnp.arange(nbr)[:, None], ell.idx].add(
+        d.transpose(0, 2, 1, 3))
+    dense = full.transpose(0, 2, 1, 3).reshape(nbr * ell.bm, ncb * ell.bn)
+    return dense[: ell.m, : ell.n]
+
+
+def ell_gram(ell: BlockedEll, row_weight=None, chunk_rows: int = 0):
+    """Dense (n, n) Gram K = A' diag(w) A straight from the blocked-ELL
+    tiles — O(nnz_stored * kmax * bn) flops, never materializing dense A.
+
+    Per block-row r and tile-slot pair (a, b), the contribution
+    data[r,:,a,:]' W_r data[r,:,b,:] is a (bn, bn) block landing at block
+    coordinates (idx[r,a], idx[r,b]); a segment-sum over the flattened
+    block-pair ids accumulates all of them into the (ncb, ncb) block grid.
+    A lax.scan over chunks of block-rows bounds the contribution-tensor
+    memory. Padding slots contribute exact zero blocks at pair id 0.
+
+    This is the TPU-native analog of forming the direct backend's Schur
+    Gram from sparse storage (the reference forms the sparse KKT directly,
+    linsys/csparse.c:89-221; here the factor is dense n x n by design, so
+    only the *formation* needs to exploit sparsity)."""
+    nbr = ell.data.shape[0]
+    bm, bn, kmax, ncb = ell.bm, ell.bn, ell.kmax, ell.ncb
+    d = ell.data.reshape(nbr, bm, kmax, bn)
+    if row_weight is not None:
+        wp = jnp.zeros((nbr * bm,), d.dtype).at[: ell.m].set(
+            row_weight.astype(d.dtype))
+        dw = d * wp.reshape(nbr, bm)[:, :, None, None]
+    else:
+        dw = d
+    idx = ell.idx.astype(jnp.int32)
+    pid = idx[:, :, None] * ncb + idx[:, None, :]        # (nbr, kmax, kmax)
+
+    if chunk_rows <= 0:
+        # ~32 MB of f64 contribution tensor per scan step
+        chunk_rows = max(1, (1 << 22) // max(kmax * kmax * bn * bn, 1))
+    nch = -(-nbr // chunk_rows)
+    pad = nch * chunk_rows - nbr
+
+    def _pad(x):
+        return jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1))
+
+    d_s = _pad(d).reshape(nch, chunk_rows, bm, kmax, bn)
+    dw_s = _pad(dw).reshape(nch, chunk_rows, bm, kmax, bn)
+    pid_s = _pad(pid).reshape(nch, chunk_rows, kmax, kmax)
+
+    def body(K, args):
+        dc, dwc, pc = args
+        contrib = jnp.einsum("rmax,rmby->rabxy", dwc, dc,
+                             precision=jax.lax.Precision.HIGHEST)
+        K = K + jax.ops.segment_sum(
+            contrib.reshape(-1, bn, bn), pc.reshape(-1),
+            num_segments=ncb * ncb)
+        return K, None
+
+    K0 = jnp.zeros((ncb * ncb, bn, bn), d.dtype)
+    Kb, _ = jax.lax.scan(body, K0, (d_s, dw_s, pid_s))
+    K = Kb.reshape(ncb, ncb, bn, bn).transpose(0, 2, 1, 3).reshape(
+        ncb * bn, ncb * bn)
+    return K[: ell.n, : ell.n]
+
+
+def sparse_gram(A: "SparseA", row_weight=None):
+    """Dense (n, n) K = A' diag(w) A for a SparseA with dense tails.
+
+    Entries live in exactly one of {ELL core S, row tails R, col tails C}
+    (rows extracted whole first, then whole remaining columns), so
+    K = S'WS + C'WC + S'WC + (S'WC)' + R'WR: the S-R and R-C cross terms
+    vanish because S and C have zero rows at rows_idx."""
+    w = row_weight
+    K = ell_gram(A.fwd, w)
+    if A.cols_val is not None:
+        ci = jnp.asarray(A.cols_idx)
+        Cw = (A.cols_val if w is None
+              else A.cols_val * w[:, None].astype(A.dtype))
+        # S' W C via the stored transpose structure (bwd = S', n x m)
+        cross = ell_matmat(A.bwd, Cw)                    # (n, dc)
+        K = K.at[:, ci].add(cross)
+        K = K.at[ci, :].add(cross.T)
+        K = K.at[ci[:, None], ci[None, :]].add(A.cols_val.T @ Cw)
+    if A.rows_val is not None:
+        Rw = (A.rows_val if w is None
+              else A.rows_val * w[jnp.asarray(A.rows_idx)][:, None].astype(
+                  A.dtype))
+        K = K + A.rows_val.T @ Rw
+    return K
+
+
 def ell_scale(ell: BlockedEll, D, E) -> BlockedEll:
     """Return the structure of diag(D) @ A @ diag(E) (same pattern)."""
     nbr = ell.data.shape[0]
@@ -449,6 +545,15 @@ class SparseA:
         if cv is not None:
             cv = cv * D[:, None] * E[jnp.asarray(self.cols_idx)][None, :]
         return dataclasses.replace(out, rows_val=rv, cols_val=cv)
+
+    def todense(self):
+        """Materialize the dense (m, n) matrix (all three parts)."""
+        D = ell_to_dense(self.fwd)
+        if self.rows_val is not None:
+            D = D.at[jnp.asarray(self.rows_idx)].add(self.rows_val)
+        if self.cols_val is not None:
+            D = D.at[:, jnp.asarray(self.cols_idx)].add(self.cols_val)
+        return D
 
     def astype(self, dtype) -> "SparseA":
         return SparseA(

@@ -50,7 +50,7 @@ def main(argv=None) -> int:
         return 1
     filename = argv[0]
     # `storage sparse` keeps A (and P) in the O(nnz) blocked-ELL form
-    # (no dense materialization; requires the indirect backend)
+    # (no dense materialization; works with both backends)
     storage = "dense"
     overrides = list(argv[1:])
     for i in range(0, len(overrides) - 1, 2):

@@ -29,17 +29,8 @@ def validate(problem: Problem, spec: ConeSpec, cone_data, stg: Settings) -> None
     if problem.c.shape != (n,):
         raise ValidationError(f"c must have shape ({n},), got {problem.c.shape}")
     sparse_P = problem.P is not None and is_sparse(problem.P)
-    if sparse_A:
-        if stg.linsys != "indirect":
-            raise ValidationError(
-                "sparse (blocked-ELL) A requires linsys='indirect' (the "
-                "matrix-free path); the direct backend forms a dense Gram")
-        if not problem.A.all_finite():
-            raise ValidationError("A contains non-finite entries")
-    if sparse_P and stg.linsys != "indirect":
-        raise ValidationError(
-            "sparse (blocked-ELL) P requires linsys='indirect' (the "
-            "matrix-free path); the direct backend forms a dense Gram")
+    if sparse_A and not problem.A.all_finite():
+        raise ValidationError("A contains non-finite entries")
     if problem.P is not None:
         if problem.P.shape != (n, n):
             raise ValidationError(

@@ -80,17 +80,79 @@ def test_sparse_infeasible_certificate():
     assert abs(bty + 1.0) < 1e-9
 
 
-def test_sparse_requires_indirect():
-    spec = ConeSpec(l=4)
-    A = sps.sparse_from_dense(-np.eye(4))
-    prob = scs_tpu.Problem(A=A, b=np.zeros(4), c=np.ones(4))
-    with pytest.raises(ValidationError, match="indirect"):
-        scs_tpu.Workspace(prob, spec, settings=Settings(linsys="direct"))
+def test_sparse_gram_matches_dense():
+    """ell_gram / sparse_gram vs the dense A' diag(w) A oracle, including
+    dense row/col tails and the zero-cone row weighting (the direct
+    backend's K = A'A + 999 A_z'A_z formation from sparse storage)."""
+    rng = np.random.RandomState(5)
+    m, n = 300, 70
+    A_sp = sp.random(m, n, density=0.05, random_state=rng,
+                     data_rvs=rng.randn).tolil()
+    A_sp[7, :] = rng.randn(n)          # dense row -> rows tail
+    A_sp[:, 3] = rng.randn(m, 1)       # dense col -> cols tail
+    A = sps.sparse_from_scipy(A_sp.tocsc(), dense_rows=[7], dense_cols=[3])
+    assert A.rows_val is not None and A.cols_val is not None
+    Ad = np.asarray(A_sp.todense())
+    w = 1.0 + 2.0 * rng.rand(m)
+    np.testing.assert_allclose(
+        np.asarray(sps.sparse_gram(A, jnp.asarray(w))),
+        Ad.T @ (w[:, None] * Ad), atol=1e-11)
+    np.testing.assert_allclose(np.asarray(sps.sparse_gram(A)),
+                               Ad.T @ Ad, atol=1e-11)
+    # core-only (no tails) path + chunked scan
+    A2 = sps.sparse_from_dense(Ad[:64])
+    np.testing.assert_allclose(
+        np.asarray(sps.ell_gram(A2.fwd, chunk_rows=2)),
+        Ad[:64].T @ Ad[:64], atol=1e-11)
+
+
+def test_sparse_todense_roundtrip():
+    rng = np.random.RandomState(9)
+    Ad = np.asarray(sp.random(50, 33, density=0.1, random_state=rng,
+                              data_rvs=rng.randn).todense())
+    Ad[4, :] = rng.randn(33)
+    A = sps.sparse_from_dense(Ad)
+    np.testing.assert_array_equal(np.asarray(A.todense()), Ad)
+    A_t = sps.sparse_from_scipy(sp.csc_matrix(Ad), dense_rows=[4],
+                                dense_cols=[2])
+    np.testing.assert_allclose(np.asarray(A_t.todense()), Ad, atol=0)
+
+
+@pytest.mark.parametrize("mixed", [False, True])
+def test_sparse_direct_parity(mixed):
+    """Sparse storage through the DIRECT backend (structure-aware Gram
+    formation; dense n x n factor): must match the dense direct solve."""
+    spec = ConeSpec(z=20, l=40, q=(12, 8, 20))
+    p = gen_planted(spec, n=40, seed=13, density=0.1)
+    stg = Settings(linsys="direct", mixed_precision=mixed,
+                   eps_abs=1e-6, eps_rel=1e-6)
+    sol_d, info_d = scs_tpu.solve(p.problem, spec, p.cone_data, stg)
+    sol_s, info_s = scs_tpu.solve(_sparsify(p.problem), spec, p.cone_data,
+                                  stg)
+    assert info_d.status_val == config.SOLVED
+    assert info_s.status_val == config.SOLVED
+    assert abs(info_s.pobj - info_d.pobj) < 1e-5 * (1 + abs(info_d.pobj))
+    np.testing.assert_allclose(sol_s.x, sol_d.x, atol=1e-4, rtol=1e-4)
+
+
+def test_sparse_P_direct():
+    """Sparse quadratic objective through the direct backend: sparse P is
+    densified once at setup (the factor is n x n regardless); solution
+    must match the all-dense solve."""
     import dataclasses
-    prob_p = dataclasses.replace(prob, P=sps.sparse_from_dense(np.eye(4)))
-    with pytest.raises(ValidationError, match="indirect"):
-        scs_tpu.Workspace(prob_p, spec,
-                          settings=Settings(linsys="direct"))
+    spec = ConeSpec(l=50)
+    p = gen_planted(spec, n=24, seed=31, density=0.15)
+    P_sp = _rand_sparse_psd(24, seed=77)
+    prob_dense = dataclasses.replace(
+        p.problem, P=jnp.asarray(np.asarray(P_sp.todense())))
+    prob_sparse = dataclasses.replace(
+        _sparsify(p.problem), P=sps.sparse_from_scipy(P_sp))
+    stg = Settings(linsys="direct", eps_abs=1e-7, eps_rel=1e-7)
+    sol_d, info_d = scs_tpu.solve(prob_dense, spec, p.cone_data, stg)
+    sol_s, info_s = scs_tpu.solve(prob_sparse, spec, p.cone_data, stg)
+    assert info_d.status_val == config.SOLVED
+    assert info_s.status_val == config.SOLVED
+    np.testing.assert_allclose(sol_s.x, sol_d.x, atol=1e-5, rtol=1e-5)
 
 
 def _rand_sparse_psd(n, seed, density=0.2):
