@@ -1,7 +1,8 @@
 """Ports of the remaining reference test problems (run_tests.c:101-168):
 qafiro_tiny_qp (Netlib), hs21_tiny_qp (+ write->read->re-solve cycle),
-test_soc_sizes, infeasible/unbounded QP certificates, and the applied
-spectral-cone problems (test/spectral_cones_problems/).
+test_soc_sizes, infeasible/unbounded QP certificates, rob_gauss_cov_est
+(SDP+exp mix with warm-start / rw / settings-variation legs), and the
+applied spectral-cone problems (test/spectral_cones_problems/).
 
 Problem DATA is parsed from the reference's own fixture headers at test
 time (tests/ref_data.py) so both solvers run the identical problems."""
@@ -171,3 +172,54 @@ def test_applied_spectral(header, spec, opt):
     assert info.status_val == config.SOLVED, (header, info.status)
     assert abs(float(np.dot(c, sol.x)) - opt) < 1e-4 * (1 + abs(opt)), (
         header, float(np.dot(c, sol.x)), opt)
+
+
+def test_rob_gauss_cov_est(tmp_path):
+    """rob_gauss_cov_est.h: robust Gaussian covariance estimation SDP
+    (z=19, l=7, s=(4,2), ep=2) — solve, warm-started re-solve in <=100
+    iters, write->read->re-solve, and the settings-variation leg
+    (normalize=0, adaptive_scale=0, AA=10, CSV trace)."""
+    import dataclasses
+
+    from scs_tpu.io import read_scs_data, write_scs_data
+
+    path = f"{REF}/problems/rob_gauss_cov_est.h"
+    A, P, b, c, arr = problem_from_header(path)
+    spec = ConeSpec(z=19, l=7, s=(4, 2), ep=2)
+    assert A.shape == (spec.dims(), 30)
+    opt = -4.8912
+    stg = Settings(eps_abs=1e-6, eps_rel=1e-6, eps_infeas=1e-9)
+    prob = scs_tpu.Problem(A=A, b=b, c=c, P=P)
+    w = scs_tpu.Workspace(prob, spec, settings=stg)
+    sol, info = w.solve()
+    assert info.status_val == config.SOLVED, info.status
+    assert abs(info.pobj - opt) < 1e-4
+    assert abs(info.dobj - opt) < 1e-4
+    verify_solution(prob, spec, None, stg, info, sol, info.status_val)
+
+    # warm start from the solution: <=100 iters (reference asserts same)
+    sol2, info2 = w.solve(warm_start=True, sol=sol)
+    assert info2.status_val == config.SOLVED
+    assert info2.iter <= 100, info2.iter
+
+    # write -> read -> re-solve parity
+    f = str(tmp_path / "rob_gauss.dat")
+    write_scs_data(f, prob, spec, None, stg)
+    prob3, spec3, cone3, stg3 = read_scs_data(f)
+    assert spec3 == spec
+    sol3, info3 = scs_tpu.solve(prob3, spec3, cone3, stg3)
+    assert info3.status_val == config.SOLVED
+    assert abs(info3.pobj - opt) < 1e-4
+
+    # settings variation: normalize off, adaptive scale off, AA on, CSV
+    csv = str(tmp_path / "rob_gauss.csv")
+    stg4 = dataclasses.replace(
+        stg, normalize=False, adaptive_scale=False,
+        acceleration_lookback=10, acceleration_interval=10,
+        log_csv_filename=csv)
+    sol4, info4 = scs_tpu.solve(prob, spec, settings=stg4)
+    assert info4.status_val == config.SOLVED
+    assert abs(info4.pobj - opt) < 1e-4
+    assert abs(info4.dobj - opt) < 1e-4
+    import os
+    assert os.path.getsize(csv) > 0
