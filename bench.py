@@ -64,6 +64,30 @@ def scs_baseline_iters_per_sec() -> float:
     return _FALLBACK_SCS_ITERS_PER_SEC
 
 
+def wait_for_backend(max_wait_s: float = 1200.0) -> bool:
+    """Probe jax backend init in a killable subprocess.
+
+    A wedged remote-TPU tunnel makes jax.devices() hang forever inside
+    native code (not interruptible in-thread); probing in a subprocess
+    lets us time-box each attempt and retry while the tunnel recovers,
+    instead of hanging the whole benchmark run."""
+    deadline = time.monotonic() + max_wait_s
+    attempt = 0
+    while time.monotonic() < deadline:
+        attempt += 1
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=120, capture_output=True)
+            if r.returncode == 0:
+                return True
+            log(f"backend probe {attempt}: exit {r.returncode}")
+        except subprocess.TimeoutExpired:
+            log(f"backend probe {attempt}: init still hanging (tunnel down?)")
+        time.sleep(30)
+    return False
+
+
 def main():
     # the remote TPU worker occasionally crashes/restarts mid-run; one
     # retry re-runs the workload against the restarted worker so the
@@ -72,6 +96,14 @@ def main():
         import scs_tpu  # noqa: F401  (enables x64)
         from scs_tpu.ops import roofline
         print(json.dumps(roofline.measure()))
+        return
+    if not wait_for_backend():
+        # emit a parsable record rather than hanging the driver forever
+        print(json.dumps({
+            "metric": "ADMM iterations/s/chip (batched n=100 SOCP, eps=1e-4)",
+            "value": 0, "unit": "iters/s/chip", "vs_baseline": 0,
+            "error": "device backend unreachable (tunnel down) after 20 min",
+        }))
         return
     baseline = scs_baseline_iters_per_sec()
     last_err = None
