@@ -184,7 +184,7 @@ def run_bench(baseline):
     ips1024 = []
     if "--quick" not in sys.argv:
         try:
-            ips1024, _, _ = _timed_batch(spec, stg, n, 1024, 5000, reps=3)
+            ips1024, _, _ = _timed_batch(spec, stg, n, 1024, 5000, reps=5)
         except Exception as e:  # noqa: BLE001
             log(f"B=1024 leg failed ({e!r}); reporting B=256 only")
 
