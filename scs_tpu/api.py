@@ -79,19 +79,34 @@ class _CsvTrace:
     def __init__(self, filename: str):
         self._f = open(filename, "w")
         self._f.write(self.COLUMNS + "\n")
-        self._last_iter = -1
+        # one-row buffer: the terminating check step halts WITHOUT
+        # advancing iter (solver semantics), so its fresh-residual row
+        # shares an iter value with the preceding plain step's row; the
+        # freshest same-iter row must win, which means a row is only
+        # final once a later iter arrives (or at close)
+        self._pending = None      # (iter, row, elapsed_s)
+        self._flushed_iter = -1
+
+    def _flush(self) -> None:
+        if self._pending is not None:
+            it, row, elapsed_s = self._pending
+            self._f.write(",".join(repr(float(v)) for v in row)
+                          + f",{elapsed_s!r}\n")
+            self._flushed_iter = it
+            self._pending = None
 
     def write_rows(self, rows, elapsed_s: float) -> None:
         rows = np.asarray(rows)  # one device->host pull per chunk
         for row in rows:
             it = int(row[0])
-            if it <= self._last_iter:
+            if it <= self._flushed_iter:
                 continue  # post-termination idempotent step
-            self._last_iter = it
-            self._f.write(",".join(repr(float(v)) for v in row)
-                          + f",{elapsed_s!r}\n")
+            if self._pending is not None and it > self._pending[0]:
+                self._flush()
+            self._pending = (it, row, elapsed_s)
 
     def close(self) -> None:
+        self._flush()
         self._f.close()
 
 
@@ -183,10 +198,11 @@ class Workspace:
         self._finalizer = _cached_finalizer(spec)
 
         if stg.write_data_filename:
-            if is_sparse(A):
+            if is_sparse(A) or is_sparse(P):
                 raise ValidationError(
-                    "write_data_filename requires dense A (the SCS "
-                    "interchange format densifies through the codec)")
+                    "write_data_filename requires dense A and P (the SCS "
+                    "interchange format densifies through the codec); "
+                    "densify with SparseA.todense() first")
             from .io import write_scs_data
             write_scs_data(stg.write_data_filename,
                            Problem(A=A, b=b_orig, c=c_orig, P=P),
@@ -246,9 +262,11 @@ class Workspace:
                     lam_min = -float(jnp.max(theta))
                 else:
                     # small n: a dense eigh probe is trivial; a sparse P
-                    # is densified for the probe only (one n x n matmat)
-                    Pd = (Pp @ jnp.eye(P.shape[0], dtype=self.stg.dtype)
-                          if is_sparse(P) else Pp)
+                    # is densified for the probe only (todense scatters
+                    # O(nnz-blocks); an n-column matmat through the ELL
+                    # gather would transiently blow up to
+                    # (nbr, kmax, bn, n) and can OOM at setup)
+                    Pd = Pp.todense() if is_sparse(P) else Pp
                     lam_min = float(jnp.min(jnp.linalg.eigvalsh(Pd)))
                 scale_ref = max(1.0, float(
                     P.abs_max() if is_sparse(P) else jnp.max(jnp.abs(P))))

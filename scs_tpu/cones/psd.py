@@ -38,7 +38,12 @@ def _eigh_accurate(M: jnp.ndarray):
     ops/eigh_ds.py) is several times faster AND lands at ~1e-9
     residuals — strictly better on both axes. CPU keeps LAPACK eigh.
     """
-    if eigh_ds.supported() and M.shape[-1] >= _REFINED_MIN_N:
+    if (eigh_ds.supported() and M.shape[-1] >= _REFINED_MIN_N
+            and M.dtype == jnp.float64):
+        # f64 only: the refinement's separation tolerances and the 1e-8
+        # orthogonality gate presume f64 roundoff — at f32 the correction
+        # divides f32-noise numerators by ~1e-7 gaps and the gate can
+        # never pass, so pure-f32 (SFLOAT-analog) runs keep native eigh
         return eigh_ds.eigh_refined(M)
     return jnp.linalg.eigh(M)
 

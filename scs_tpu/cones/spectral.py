@@ -741,7 +741,13 @@ def proj_logdet_batch(seg, ns: int, f32_eig: bool = False):
             ti, vi, xi = jax.vmap(
                 lambda a, b, c: log_cone_ipm(a, b, c, mehrotra))(t0, v0, w)
             ok_i = gate(ti, vi, xi)
-            take = ~ok & ok_i
+            # any lane whose best-so-far hasn't passed the gate takes the
+            # new attempt even if that attempt also fails: the reference
+            # wrapper overwrites `proj` on every attempt, so a total
+            # cascade failure returns the LAST (variant-1 IPM) attempt,
+            # not Newton's rejected stationary point
+            # (log_cone_wrapper.c:80-103)
+            take = ~ok
             tp = jnp.where(take, ti, tp)
             vp = jnp.where(take, vi, vp)
             xp = jnp.where(take[:, None], xi, xp)

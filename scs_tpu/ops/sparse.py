@@ -177,12 +177,6 @@ def _col_segments(ell: BlockedEll, per_tile, seg_op):
     return out.reshape(-1)[: ell.n]
 
 
-def ell_col_abs_max(ell: BlockedEll):
-    t = jnp.max(jnp.abs(ell.data), axis=1)          # (nbr, kmax*bn)
-    t = t.reshape(t.shape[0], ell.kmax, ell.bn)
-    return _col_segments(ell, t, jax.ops.segment_max)
-
-
 def ell_col_sumsq(ell: BlockedEll, row_weights=None):
     """sum_r w_r * A_rc^2 per column c (diagK preconditioner builds)."""
     d2 = ell.data * ell.data

@@ -138,6 +138,15 @@ def test_csv_trace(tmp_path):
     rows = [dict(zip(header, ln.split(","))) for ln in lines[1:]]
     iters = [int(float(r["iter"])) for r in rows]
     assert iters == sorted(set(iters)), "iters must be strictly increasing"
+    # the final row must carry the FRESH residuals of the terminating
+    # check step (it shares an iter value with the preceding plain step,
+    # whose stale-residual row must lose the dedup), so it reflects the
+    # converged state
+    last = rows[-1]
+    assert sol["info"]["status_val"] == config.SOLVED
+    for col in ("res_pri", "res_dual", "gap"):
+        np.testing.assert_allclose(float(last[col]), sol["info"][col],
+                                   rtol=1e-9, err_msg=col)
 
 
 def test_write_data_roundtrip(tmp_path):

@@ -451,3 +451,23 @@ def test_tails_ds_matvec_interpret():
     # number is validated on the TPU
     assert np.abs(yf - Ad @ x).max() < 1e-6 * np.abs(Ad @ x).max() + 1e-9
     assert np.abs(yb - Ad.T @ z).max() < 1e-6 * np.abs(Ad.T @ z).max() + 1e-9
+
+
+def test_write_data_rejects_sparse_operands(tmp_path):
+    """write_data_filename needs dense operands: sparse A OR sparse P must
+    raise the clean ValidationError at setup instead of crashing inside
+    the interchange codec."""
+    import dataclasses
+    import pytest
+    spec = ConeSpec(z=4, l=12)
+    p = gen_planted(spec, n=8, seed=3, density=0.4, with_P=True)
+    fname = str(tmp_path / "dump.dat")
+    stg = Settings(write_data_filename=fname)
+    P_sp = sps.sparse_from_scipy(sp.csc_matrix(np.asarray(p.problem.P)))
+    prob_sp_P = dataclasses.replace(p.problem, P=P_sp)
+    with pytest.raises(ValidationError, match="dense"):
+        scs_tpu.Workspace(prob_sp_P, spec, p.cone_data, stg)
+    prob_sp_A = dataclasses.replace(
+        p.problem, A=sps.sparse_from_dense(np.asarray(p.problem.A)))
+    with pytest.raises(ValidationError, match="dense"):
+        scs_tpu.Workspace(prob_sp_A, spec, p.cone_data, stg)
