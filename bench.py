@@ -98,11 +98,19 @@ def main():
         print(json.dumps(roofline.measure()))
         return
     if not wait_for_backend():
-        # emit a parsable record rather than hanging the driver forever
+        # emit a parsable record rather than hanging the driver forever;
+        # carry the last measurement captured on the real chip (README
+        # "Measured on one TPU v5 lite chip", 2026-08-17) so the round
+        # artifact distinguishes "hardware unreachable" from "slow"
         print(json.dumps({
             "metric": "ADMM iterations/s/chip (batched n=100 SOCP, eps=1e-4)",
             "value": 0, "unit": "iters/s/chip", "vs_baseline": 0,
             "error": "device backend unreachable (tunnel down) after 20 min",
+            "last_recorded_on_tpu": {
+                "value": 40100.0, "vs_baseline": 2.74, "batch": 1024,
+                "date": "2026-08-17",
+                "source": "README.md / docs/PERFORMANCE.md",
+            },
         }))
         return
     baseline = scs_baseline_iters_per_sec()
