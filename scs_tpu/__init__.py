@@ -55,6 +55,7 @@ jax.config.update("jax_default_matmul_precision", "highest")
 
 from . import config  # noqa: E402
 from .api import Workspace, solve  # noqa: E402
+from .diff import make_diff_solver  # noqa: E402
 from .types import (ConeData, ConeSpec, Info, Problem,  # noqa: E402
                     Settings, Solution, problem_from_csc)
 
@@ -67,7 +68,7 @@ def scs_version() -> str:
 
 
 __all__ = [
-    "Workspace", "solve", "Problem", "ConeSpec", "ConeData", "Settings",
-    "Solution", "Info", "problem_from_csc", "config", "__version__",
-    "scs_version",
+    "Workspace", "solve", "make_diff_solver", "Problem", "ConeSpec",
+    "ConeData", "Settings", "Solution", "Info", "problem_from_csc",
+    "config", "__version__", "scs_version",
 ]

@@ -101,16 +101,8 @@ def _peel(X, ns: int):
     return out
 
 
-@functools.partial(jax.jit, static_argnames=("ns",))
-def ozaki_matmul(A, B, ns: int = 8):
-    """C = A @ B with f64-grade accuracy, computed on the MXU.
-
-    A: (..., m, k), B: (..., k, n), f64 in / f64 out; leading batch dims
-    must match. Accuracy ~1e-14 (ns=8) relative to the product of the
-    row scale of A and the column scale of B — the same relative-to-
-    operand-norm guarantee a true f64 dgemm gives. Cost: ns(ns+1)/2
-    bf16 MXU matmuls + O(mn) f64 combination.
-    """
+@functools.partial(jax.custom_jvp, nondiff_argnums=(2,))
+def _ozaki_matmul(A, B, ns):
     dtype = A.dtype
     *batch, m, k = A.shape
     n = B.shape[-1]
@@ -151,6 +143,36 @@ def ozaki_matmul(A, B, ns: int = 8):
     if nc > 1:
         acc = jnp.sum(acc, axis=len(batch))
     return acc * sa * sb
+
+
+@_ozaki_matmul.defjvp
+def _ozaki_matmul_jvp(ns, primals, tangents):
+    """The op computes A @ B exactly (to f64 rounding), so its true
+    derivative is the bilinear product rule. Without this rule autodiff
+    would differentiate the slice peeling, whose jnp.round has zero
+    gradient — silently killing cotangents that flow through the Gram
+    cache (e.g. implicit differentiation of solves, scs_tpu/diff.py).
+    Tangents use the plain dot (linear in (dA, dB), so reverse mode
+    transposes it); f64-grade tangent accuracy is not needed."""
+    A, B = primals
+    dA, dB = tangents
+    y = _ozaki_matmul(A, B, ns)
+    dy = jnp.matmul(dA, B) + jnp.matmul(A, dB)
+    return y, dy
+
+
+@functools.partial(jax.jit, static_argnames=("ns",))
+def ozaki_matmul(A, B, ns: int = 8):
+    """C = A @ B with f64-grade accuracy, computed on the MXU.
+
+    A: (..., m, k), B: (..., k, n), f64 in / f64 out; leading batch dims
+    must match. Accuracy ~1e-14 (ns=8) relative to the product of the
+    row scale of A and the column scale of B — the same relative-to-
+    operand-norm guarantee a true f64 dgemm gives. Cost: ns(ns+1)/2
+    bf16 MXU matmuls + O(mn) f64 combination. Differentiable (exact
+    product rule via custom_jvp).
+    """
+    return _ozaki_matmul(A, B, ns)
 
 
 def gram(A, ns: int = 8):

@@ -1,0 +1,191 @@
+"""Differentiable solves (scs_tpu/diff.py): gradient checks vs central
+finite differences of the (tightly re-solved) solution map.
+
+The reference ecosystem's counterpart is diffcp (cvxgrp); the reference C
+solver itself has no derivative capability, so these tests validate the
+implicit-function-theorem construction against numerical ground truth
+rather than a reference implementation.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import scs_tpu
+from scs_tpu import config
+from scs_tpu.diff import make_diff_solver
+from scs_tpu.models import gen_planted
+from scs_tpu.types import ConeSpec, Settings
+from scs_tpu.validation import ValidationError
+
+TIGHT = Settings(eps_abs=1e-11, eps_rel=1e-11)
+
+
+def _fd_grad(f, args, idx, eps=1e-6):
+    """Central finite differences of scalar f in every coordinate of
+    args[idx]."""
+    args = [np.asarray(a, dtype=np.float64).copy() for a in args]
+    base = args[idx]
+    g = np.zeros_like(base)
+    it = np.nditer(base, flags=["multi_index"])
+    while not it.finished:
+        ix = it.multi_index
+        orig = base[ix]
+        base[ix] = orig + eps
+        fp = float(f(*[jnp.asarray(a) for a in args]))
+        base[ix] = orig - eps
+        fm = float(f(*[jnp.asarray(a) for a in args]))
+        base[ix] = orig
+        g[ix] = (fp - fm) / (2 * eps)
+        it.iternext()
+    return g
+
+
+def _check_grads(spec, prob, has_P=False, atol=5e-5, rtol=5e-4,
+                 fd_eps=1e-6):
+    solve = make_diff_solver(spec, TIGHT, has_P=has_P)
+    A = jnp.asarray(prob.A)
+    b = jnp.asarray(prob.b)
+    c = jnp.asarray(prob.c)
+    w = jnp.asarray(np.random.RandomState(7).randn(A.shape[1]))
+
+    if has_P:
+        P = jnp.asarray(prob.P)
+
+        @jax.jit  # FD loop re-calls this many times; see diff.py on the
+        # 1-core XLA CPU compiler's compile-count limit
+        def loss(A, b, c, P):
+            x, y, s = solve(A, b, c, P)
+            return w @ x
+
+        gA, gb, gc, gP = jax.jit(jax.grad(loss, argnums=(0, 1, 2, 3)))(
+            A, b, c, P)
+        args = [A, b, c, P]
+    else:
+
+        @jax.jit
+        def loss(A, b, c):
+            x, y, s = solve(A, b, c)
+            return w @ x
+
+        gA, gb, gc = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))(A, b, c)
+        args = [A, b, c]
+
+    names = ["A", "b", "c", "P"][: len(args)]
+    grads = [gA, gb, gc] + ([gP] if has_P else [])
+    for i, (name, g) in enumerate(zip(names, grads)):
+        fd = _fd_grad(loss, args, i, eps=fd_eps)
+        g = np.asarray(g)
+        scale = max(np.abs(fd).max(), 1.0)
+        err = np.abs(g - fd).max()
+        assert err < atol + rtol * scale, (
+            f"d loss/d{name}: max err {err:.2e} (scale {scale:.2e})\n"
+            f"analytic:\n{g}\nfd:\n{fd}")
+
+
+def _gen_strictly_complementary(z=2, l=6, q=(), n=4, act=None, seed=0,
+                                with_P=False):
+    """Plant a STRICTLY COMPLEMENTARY, nondegenerate solution.
+
+    gen_planted's Moreau construction (y, s) = (proj(z), proj(z) - z)
+    activates ~half the rows; for small problems that often lands on a
+    degenerate vertex (more active constraints than the solution-face
+    dimension), where the solution map is genuinely nondifferentiable and
+    finite differences disagree with any generalized Jacobian. Here the
+    active set is chosen explicitly: `act` nonneg rows active (y > 0,
+    s = 0), the rest strictly slack; each SOC block strictly on the
+    boundary from both sides (s, y nonzero, complementary); equalities
+    carry free duals. Unique primal requires face dimension 0 for LPs
+    (act = n - z) or a strictly convex P."""
+    from scs_tpu.types import Problem
+    rng = np.random.RandomState(seed)
+    m = z + l + sum(q)
+    if act is None:
+        act = n - z - sum(max(k - 1, 0) for k in q)
+    A = rng.randn(m, n)
+    y = np.zeros(m)
+    s = np.zeros(m)
+    y[:z] = rng.randn(z)
+    y[z:z + act] = rng.rand(act) + 0.5
+    s[z + act:z + l] = rng.rand(l - act) + 0.5
+    off = z + l
+    for k in q:
+        v = rng.randn(k - 1)
+        a = np.linalg.norm(v)
+        s[off:off + k] = np.concatenate([[a], v])
+        kappa = 0.5 + rng.rand()
+        y[off:off + k] = kappa * np.concatenate([[a], -v])
+        off += k
+    x = rng.randn(n)
+    b = A @ x + s
+    P = None
+    if with_P:
+        F = rng.randn(n, n)
+        P = F @ F.T + np.eye(n)
+    c = -A.T @ y - (P @ x if with_P else 0.0)
+    return Problem(A=jnp.asarray(A), b=jnp.asarray(b), c=jnp.asarray(c),
+                   P=None if P is None else jnp.asarray(P))
+
+
+def test_grad_lp():
+    """LP: gradients of w'x* w.r.t. (A, b, c) match finite differences."""
+    spec = ConeSpec(z=2, l=6)
+    _check_grads(spec, _gen_strictly_complementary(seed=0))
+
+
+def test_grad_socp():
+    """SOCP: SOC projection derivative flows through jax.vjp."""
+    spec = ConeSpec(z=1, l=3, q=(3,))
+    prob = _gen_strictly_complementary(z=1, l=3, q=(3,), n=4, seed=2)
+    _check_grads(spec, prob)
+
+
+def test_grad_qp_with_P():
+    """QP: gradient w.r.t. the quadratic-objective matrix P too (beyond
+    diffcp, which only differentiates (A, b, c))."""
+    spec = ConeSpec(z=2, l=5)
+    prob = _gen_strictly_complementary(z=2, l=5, n=4, act=1, seed=4,
+                                       with_P=True)
+    _check_grads(spec, prob, has_P=True)
+
+
+def test_grad_psd():
+    """Small SDP: the PSD projection derivative comes from eigh's VJP."""
+    spec = ConeSpec(l=2, s=(2,))
+    p = gen_planted(spec, n=3, seed=19, density=0.9)
+    _check_grads(spec, p.problem, atol=2e-4, rtol=2e-3)
+
+
+def test_grad_matches_dual_sensitivity():
+    """Sanity identity: d(optimal value)/db = -y* for an LP (conic duality
+    in SCS's convention: Ax + s = b with dual objective -b'y, so relaxing
+    b by db changes the optimum by -y'db). Uses pobj = c'x* as the loss."""
+    spec = ConeSpec(z=2, l=6)
+    p = gen_planted(spec, n=4, seed=23, density=0.9)
+    solve = make_diff_solver(spec, TIGHT)
+    A, b, c = (jnp.asarray(p.problem.A), jnp.asarray(p.problem.b),
+               jnp.asarray(p.problem.c))
+
+    gb = jax.grad(lambda bb: c @ solve(A, bb, c)[0])(b)
+    _, y, _ = solve(A, b, c)
+    np.testing.assert_allclose(np.asarray(gb), -np.asarray(y), atol=5e-6,
+                               err_msg="d(c'x)/db should equal -y* (duality)")
+
+
+def test_diff_rejects_while_loop_cones():
+    with pytest.raises(ValidationError, match="logdet"):
+        make_diff_solver(ConeSpec(d=(3,)))
+
+
+def test_diff_jit_and_forward_value():
+    """diff_solve composes with jit and returns the ordinary solution."""
+    spec = ConeSpec(z=2, l=6)
+    p = gen_planted(spec, n=4, seed=11, density=0.9)
+    solve = make_diff_solver(spec, TIGHT)
+    x, y, s = jax.jit(solve)(p.problem.A, p.problem.b, p.problem.c)
+    sol, info = scs_tpu.solve(p.problem, spec, settings=TIGHT)
+    assert info.status_val == config.SOLVED
+    np.testing.assert_allclose(np.asarray(x), np.asarray(sol.x), atol=1e-7)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(sol.y), atol=1e-7)
