@@ -87,12 +87,15 @@ def make_diff_solver(spec: ConeSpec, settings: Optional[Settings] = None,
                      ridge: float = 0.0):
     """Build diff_solve(A, b, c[, P][, bu, bl]) -> (x, y, s), differentiable.
 
-    The returned function is jit-compatible and vmap-compatible; reverse-mode
-    (jax.grad / jax.vjp) flows into every array argument. Forward solves run
-    with ``settings`` (default: ``Settings(eps_abs=1e-9, eps_rel=1e-9)``);
-    the adjoint linear system is solved with GMRES to ``gmres_tol``
-    (``ridge`` > 0 regularizes it near nondifferentiable points, shifting
-    the gradient by O(ridge)).
+    The returned function is jit-compatible and vmap-compatible.
+    Reverse-mode (jax.grad / jax.vjp) flows into every array argument by
+    default; pass ``mode="jvp"`` (keyword, at call time) for forward-mode
+    sensitivities instead (jax.jvp — diffcp's `derivative` vs its
+    `adjoint_derivative`; a function can carry only one custom rule, hence
+    the switch). Forward solves run with ``settings`` (default:
+    ``Settings(eps_abs=1e-9, eps_rel=1e-9)``); the IFT linear system is
+    solved with GMRES to ``gmres_tol`` (``ridge`` > 0 regularizes it near
+    nondifferentiable points, shifting the gradient by O(ridge)).
 
     P (when ``has_P``) must be the full symmetric matrix; the gradient
     returned for it is likewise the full-matrix cotangent. Box bounds are
@@ -189,7 +192,37 @@ def make_diff_solver(spec: ConeSpec, settings: Optional[Settings] = None,
 
     _solve.defvjp(_solve_fwd, _solve_bwd)
 
-    def diff_solve(A, b, c, *args):
+    # ---- forward mode (diffcp's `derivative`, vs `adjoint_derivative`) ----
+    _solve_j = jax.custom_jvp(_solve_impl)
+
+    @_solve_j.defjvp
+    def _solve_jvp(primals, tangents):
+        (theta,) = primals
+        (dtheta,) = tangents
+        out = _solve_impl(theta)
+        x, y, s = out
+        A = theta[0]
+        m, n = A.shape
+        v_star = _pack_fixed_point(x, y, s, m, n, x.dtype)
+        _, jvp_F = jax.linearize(_F, v_star, theta)
+        zero_theta = jax.tree.map(jnp.zeros_like, theta)
+        zero_v = jnp.zeros_like(v_star)
+
+        # dv solves (I - dPhi/dv) dv = dPhi/dtheta dtheta (IFT, forward)
+        rhs, _ = jvp_F(zero_v, dtheta)
+
+        def op(u):
+            ju, _ = jvp_F(u, zero_theta)
+            return u - ju + ridge * u
+
+        dv, _ = jax.scipy.sparse.linalg.gmres(
+            op, rhs, tol=gmres_tol, atol=gmres_tol,
+            restart=min(gmres_restart, v_star.shape[0]),
+            maxiter=gmres_maxiter, solve_method="batched")
+        _, dsol = jvp_F(dv, dtheta)
+        return out, dsol
+
+    def diff_solve(A, b, c, *args, mode: str = "vjp"):
         expected = (1 if has_P else 0) + (2 if has_box else 0)
         if len(args) != expected:
             raise TypeError(
@@ -209,6 +242,10 @@ def make_diff_solver(spec: ConeSpec, settings: Optional[Settings] = None,
             nb = max(spec.bsize - 1, 0)
             bu = jnp.zeros((nb,), A.dtype)
             bl = jnp.zeros((nb,), A.dtype)
-        return _solve((A, P, b, c, bu, bl))
+        if mode == "vjp":
+            return _solve((A, P, b, c, bu, bl))
+        if mode == "jvp":
+            return _solve_j((A, P, b, c, bu, bl))
+        raise ValueError(f"mode must be 'vjp' or 'jvp', got {mode!r}")
 
     return diff_solve

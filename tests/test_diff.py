@@ -189,3 +189,33 @@ def test_diff_jit_and_forward_value():
     assert info.status_val == config.SOLVED
     np.testing.assert_allclose(np.asarray(x), np.asarray(sol.x), atol=1e-7)
     np.testing.assert_allclose(np.asarray(y), np.asarray(sol.y), atol=1e-7)
+
+
+def test_jvp_mode_matches_fd_and_vjp():
+    """Forward-mode sensitivities (mode='jvp'): directional derivative
+    matches central finite differences, and the <g, J t> inner product
+    agrees between the jvp and vjp rules."""
+    import functools
+    spec = ConeSpec(z=2, l=6)
+    prob = _gen_strictly_complementary(seed=0)
+    solve = make_diff_solver(spec, TIGHT)
+    A, b, c = prob.A, prob.b, prob.c
+    rng = np.random.RandomState(1)
+    db = jnp.asarray(rng.randn(b.shape[0]))
+
+    f_jvp = jax.jit(functools.partial(solve, mode="jvp"))
+    (x0, y0, s0), (dx, dy, ds) = jax.jvp(
+        lambda bb: f_jvp(A, bb, c), (b,), (db,))
+
+    eps = 1e-6
+    xp = solve(A, b + eps * db, c)[0]
+    xm = solve(A, b - eps * db, c)[0]
+    fd = (np.asarray(xp) - np.asarray(xm)) / (2 * eps)
+    np.testing.assert_allclose(np.asarray(dx), fd, atol=5e-5, rtol=5e-4)
+
+    # adjoint consistency: w'(J db) computed forward == (J^T w)'db backward
+    w = jnp.asarray(rng.randn(x0.shape[0]))
+    fwd_ip = float(w @ dx)
+    gb = jax.grad(lambda bb: w @ solve(A, bb, c)[0])(b)
+    bwd_ip = float(gb @ db)
+    assert abs(fwd_ip - bwd_ip) < 1e-8 * (1 + abs(fwd_ip)), (fwd_ip, bwd_ip)
