@@ -46,7 +46,7 @@ def main():
     # minimal program: no AA / adaptive scale (keeps per-worker compile
     # fast on shared CI cores); plain DR converges fine on this LP
     stg = Settings(acceleration_lookback=0, adaptive_scale=False,
-                   max_iters=2000)
+                   max_iters=20000)
     mesh = multihost.make_global_mesh()
     solver = multihost.make_sharded_batch_solver(spec, stg, mesh)
 

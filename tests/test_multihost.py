@@ -21,8 +21,10 @@ def _free_port() -> int:
 
 
 @pytest.mark.slow
-def test_multiprocess_cpu_collectives():
-    nproc = 2
+@pytest.mark.parametrize("nproc", [2, 4])
+def test_multiprocess_cpu_collectives(nproc):
+    """2 procs = the minimal cross-process path; 4 procs x 2 devices = the
+    (hosts x chips) shape of the BASELINE 1->4-host scaling target."""
     coord = f"127.0.0.1:{_free_port()}"
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)
