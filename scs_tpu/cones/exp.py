@@ -256,11 +256,23 @@ def proj_exp_batch(v: jnp.ndarray, primal_mask: jnp.ndarray) -> jnp.ndarray:
     opt |= jnp.minimum(pdist_sq, ddist_sq) <= _TOL * _TOL
     opt |= (err <= _TOL) & (jnp.sum(vp * vd, axis=-1) <= _TOL)
 
-    xl, xh = _search_bracket(v0, pdist_sq, ddist_sq)
-    rho = _root_newton(v0, xl, xh, 0.5 * (xl + xh))
+    # rows the heuristics already settled skip the Newton pipeline in
+    # VALUE via the `opt` select below — but reverse-mode autodiff of
+    # jnp.where propagates NaN from the untaken branch (NaN * 0 = NaN),
+    # and the bracket/Newton math is NaN-producing on e.g. interior
+    # points. Feed those rows a fixed generic triple instead: the Newton
+    # branch then computes finite (discarded) values and its cotangent is
+    # exactly zeroed by the select, so jax.grad through the projection
+    # (scs_tpu/diff.py) is NaN-free. Solver values are unchanged.
+    v_safe = jnp.where(opt[:, None],
+                       jnp.asarray([1.0, 0.5, 2.0], v0.dtype), v0)
+    pdist_safe = jnp.where(opt, 1.0, pdist_sq)
+    ddist_safe = jnp.where(opt, 1.0, ddist_sq)
+    xl, xh = _search_bracket(v_safe, pdist_safe, ddist_safe)
+    rho = _root_newton(v_safe, xl, xh, 0.5 * (xl + xh))
 
-    vp_hat, pdist_hat = _proj_sol_primal(v0, rho)
-    vd_hat, ddist_hat = _proj_sol_polar(v0, rho)
+    vp_hat, pdist_hat = _proj_sol_primal(v_safe, rho)
+    vd_hat, ddist_hat = _proj_sol_polar(v_safe, rho)
     vp_best = jnp.where((pdist_hat <= pdist_sq)[:, None], vp_hat, vp)
     vd_best = jnp.where((ddist_hat <= ddist_sq)[:, None], vd_hat, vd)
 

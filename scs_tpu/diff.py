@@ -48,6 +48,13 @@ active PSD blocks; at nondifferentiable points you get *a* generalized
 Jacobian action. v* is only a fixed point to solve tolerance, so solve
 tight (eps <= 1e-9; the default here) before trusting gradients. Problems
 whose status is not solved return NaN solutions and therefore NaN grads.
+Degenerate instances can make (I - dPhi/dv) exactly singular (observed:
+piecewise-linear cones at degenerate vertices, where the DR fixed-point
+set is an affine continuum, and one-sided-inactive exp blocks, whose
+reflection structure contributes unit eigenvalues); GMRES runs in the
+breakdown-safe incremental mode and returns a finite least-squares-style
+generalized gradient there — the same approximation diffcp's LSQR makes
+on its (equally singular) normalized-residual operator.
 
 Reference contrast: the reference C solver has no derivative capability;
 diffcp wraps it externally with hand-written cone derivatives
@@ -184,7 +191,7 @@ def make_diff_solver(spec: ConeSpec, settings: Optional[Settings] = None,
         w, _ = jax.scipy.sparse.linalg.gmres(
             op, hv, tol=gmres_tol, atol=gmres_tol,
             restart=min(gmres_restart, v_star.shape[0]),
-            maxiter=gmres_maxiter, solve_method="batched")
+            maxiter=gmres_maxiter, solve_method="incremental")
 
         _, jtheta = pullback((w, zero_sol))
         dtheta = jax.tree.map(jnp.add, htheta, jtheta)
@@ -218,7 +225,7 @@ def make_diff_solver(spec: ConeSpec, settings: Optional[Settings] = None,
         dv, _ = jax.scipy.sparse.linalg.gmres(
             op, rhs, tol=gmres_tol, atol=gmres_tol,
             restart=min(gmres_restart, v_star.shape[0]),
-            maxiter=gmres_maxiter, solve_method="batched")
+            maxiter=gmres_maxiter, solve_method="incremental")
         _, dsol = jvp_F(dv, dtheta)
         return out, dsol
 

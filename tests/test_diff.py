@@ -85,8 +85,8 @@ def _check_grads(spec, prob, has_P=False, atol=5e-5, rtol=5e-4,
             f"analytic:\n{g}\nfd:\n{fd}")
 
 
-def _gen_strictly_complementary(z=2, l=6, q=(), n=4, act=None, seed=0,
-                                with_P=False):
+def _gen_strictly_complementary(z=2, l=6, q=(), ell1=(), n=4, act=None,
+                                seed=0, with_P=False):
     """Plant a STRICTLY COMPLEMENTARY, nondegenerate solution.
 
     gen_planted's Moreau construction (y, s) = (proj(z), proj(z) - z)
@@ -101,9 +101,9 @@ def _gen_strictly_complementary(z=2, l=6, q=(), n=4, act=None, seed=0,
     (act = n - z) or a strictly convex P."""
     from scs_tpu.types import Problem
     rng = np.random.RandomState(seed)
-    m = z + l + sum(q)
+    m = z + l + sum(q) + sum(e + 1 for e in ell1)
     if act is None:
-        act = n - z - sum(max(k - 1, 0) for k in q)
+        act = (n - z - sum(max(k - 1, 0) for k in q) - len(ell1))
     A = rng.randn(m, n)
     y = np.zeros(m)
     s = np.zeros(m)
@@ -118,6 +118,16 @@ def _gen_strictly_complementary(z=2, l=6, q=(), n=4, act=None, seed=0,
         kappa = 0.5 + rng.rand()
         y[off:off + k] = kappa * np.concatenate([[a], -v])
         off += k
+    for e in ell1:
+        # s = (||x||_1, x) on the boundary with DISTINCT nonzero entries
+        # (no sort ties — the sorted-projection kinks live at ties);
+        # y = kappa (1, -sign(x)): extreme ray of the dual ell-inf cone,
+        # s'y = kappa (||x||_1 - ||x||_1) = 0, both strictly nonzero
+        xs = (0.5 + np.arange(1, e + 1) * 0.3) * rng.choice([-1, 1], e)
+        s[off:off + e + 1] = np.concatenate([[np.abs(xs).sum()], xs])
+        kappa = 0.5 + rng.rand()
+        y[off:off + e + 1] = kappa * np.concatenate([[1.0], -np.sign(xs)])
+        off += e + 1
     x = rng.randn(n)
     b = A @ x + s
     P = None
@@ -219,3 +229,52 @@ def test_jvp_mode_matches_fd_and_vjp():
     gb = jax.grad(lambda bb: w @ solve(A, bb, c)[0])(b)
     bwd_ip = float(gb @ db)
     assert abs(fwd_ip - bwd_ip) < 1e-8 * (1 + abs(fwd_ip)), (fwd_ip, bwd_ip)
+
+
+@pytest.mark.parametrize("spec_kw,n,seed", [
+    # exp seed chosen so the exp block is ACTIVE (both s and y on the
+    # boundary, nonzero): one-sided-inactive exp blocks make dPhi/dv
+    # carry exact unit eigenvalues (reflection structure) and the
+    # first-order IFT system becomes singular — the same degenerate
+    # class diffcp's LSQR approximates through
+    (dict(z=1, ep=1), 3, 0),        # primal exponential cone
+    (dict(z=1, p=(0.6,)), 3, 3),    # power cone
+    ("ell1", 4, 0),                 # ell1-norm cone (see below)
+    (dict(l=2, nuc_m=(3,), nuc_n=(2,)), 5, 1),  # nuclear-norm cone
+])
+def test_grad_nonsymmetric_cones(spec_kw, n, seed):
+    """FD gradient checks through the scan-based/nonpolyhedral cone
+    projections (exp, power, ell1, nuclear) — cones diffcp does not
+    differentiate at all (it supports zero/nonneg/SOC/PSD/exp only; no
+    power/ell1/nuclear). Curved boundaries (exp/power/nuclear) are
+    differentiable almost surely under random planted data; the ell1
+    projection is PIECEWISE LINEAR (like the LP case, degenerate planted
+    instances make the DR fixed-point set an affine continuum — exact
+    unit eigenvalue of dPhi/dv), so it uses the explicit
+    strictly-complementary construction. db and dc checked (dA costs
+    m*n FD solves)."""
+    if spec_kw == "ell1":
+        spec = ConeSpec(z=1, l=3, ell1=(4,))
+        prob = _gen_strictly_complementary(z=1, l=3, ell1=(4,), n=n,
+                                           seed=seed)
+    else:
+        spec = ConeSpec(**spec_kw)
+        prob = gen_planted(spec, n=n, seed=seed, density=0.9).problem
+    solve = make_diff_solver(spec, TIGHT)
+    A, b, c = prob.A, prob.b, prob.c
+    sol, info = scs_tpu.solve(prob, spec, settings=TIGHT)
+    assert info.status_val == config.SOLVED, info.status
+    w = jnp.asarray(np.random.RandomState(5).randn(n))
+
+    @jax.jit
+    def loss(b, c):
+        x, _, _ = solve(A, b, c)
+        return w @ x
+
+    gb, gc = jax.jit(jax.grad(loss, argnums=(0, 1)))(b, c)
+    for i, (name, g) in enumerate([("b", gb), ("c", gc)]):
+        fd = _fd_grad(lambda bb, cc: loss(bb, cc), [b, c], i)
+        scale = max(np.abs(fd).max(), 1.0)
+        err = np.abs(np.asarray(g) - fd).max()
+        assert err < 5e-5 + 5e-4 * scale, (
+            f"{spec_kw}: d/d{name} err {err:.2e}\n{np.asarray(g)}\n{fd}")
