@@ -50,11 +50,16 @@ tight (eps <= 1e-9; the default here) before trusting gradients. Problems
 whose status is not solved return NaN solutions and therefore NaN grads.
 Degenerate instances can make (I - dPhi/dv) exactly singular (observed:
 piecewise-linear cones at degenerate vertices, where the DR fixed-point
-set is an affine continuum, and one-sided-inactive exp blocks, whose
-reflection structure contributes unit eigenvalues); GMRES runs in the
-breakdown-safe incremental mode and returns a finite least-squares-style
-generalized gradient there — the same approximation diffcp's LSQR makes
-on its (equally singular) normalized-residual operator.
+set is an affine continuum; one-sided-inactive exp blocks; and — always —
+box cones with an ACTIVE bound, whose clamp-facet reflection structure
+contributes unit eigenvalues). GMRES runs in the breakdown-safe
+incremental mode and returns a finite least-squares-style generalized
+gradient there — the same approximation diffcp's LSQR makes on its
+(equally singular) normalized-residual operator — but treat gradients at
+such points as unreliable; for box cones that means bound gradients are
+trustworthy only while the bounds are slack. A nonunique DUAL (more
+active rows than primal variables) additionally makes the returned y —
+and therefore y-dependent losses — not a function of the data at all.
 
 Reference contrast: the reference C solver has no derivative capability;
 diffcp wraps it externally with hand-written cone derivatives

@@ -278,3 +278,48 @@ def test_grad_nonsymmetric_cones(spec_kw, n, seed):
         err = np.abs(np.asarray(g) - fd).max()
         assert err < 5e-5 + 5e-4 * scale, (
             f"{spec_kw}: d/d{name} err {err:.2e}\n{np.asarray(g)}\n{fd}")
+
+
+def test_grad_box_cone_bounds():
+    """Box cone: gradients flow into the BOUNDS (bu, bl) too — they ride
+    in theta through the masked-Newton box projection (no diffcp analog;
+    diffcp has no box cone at all). FD-checked on b, bu, bl."""
+    from scs_tpu.types import ConeData
+    rng = np.random.RandomState(2)
+    z, nb, n = 1, 2, 4
+    spec = ConeSpec(z=z, bsize=nb + 1)
+    bu_np = rng.rand(nb) + 0.5
+    bl_np = -(rng.rand(nb) + 0.5)
+    cd = ConeData.make(spec, bu=bu_np, bl=bl_np)
+    # sizes/seed chosen so the IFT system is NONSINGULAR (min singular
+    # value 4e-2; bounds slack at the solution). An ACTIVE box bound
+    # makes the one-step DR map structurally singular (every scanned
+    # active-bound instance had an exact unit eigenvalue) — a documented
+    # limitation of the first-order machinery (diff.py docstring);
+    # diffcp has no box cone at all.
+    p = gen_planted(spec, n=n, seed=3, density=0.9, cone_data=cd)
+    sol, info = scs_tpu.solve(p.problem, spec, cd, TIGHT)
+    assert info.status_val == config.SOLVED
+
+    solve = make_diff_solver(spec, TIGHT)
+    A, b, c = p.problem.A, p.problem.b, p.problem.c
+    w = jnp.asarray(np.random.RandomState(9).randn(n))
+
+    @jax.jit
+    def loss(b, bu, bl):
+        x, _, _ = solve(A, b, c, bu, bl)
+        return w @ x
+
+    bu, bl = jnp.asarray(bu_np), jnp.asarray(bl_np)
+    grads = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))(b, bu, bl)
+    for i, (name, g) in enumerate(zip(["b", "bu", "bl"], grads)):
+        fd = _fd_grad(lambda b_, u_, l_: loss(b_, u_, l_), [b, bu, bl], i)
+        err = np.abs(np.asarray(g) - fd).max()
+        scale = max(np.abs(fd).max(), 1.0)
+        assert err < 5e-5 + 5e-4 * scale, (
+            f"d/d{name} err {err:.2e}\n{np.asarray(g)}\n{fd}")
+    # bounds are slack at this solution, so their gradients are exactly
+    # zero — FD confirms (the b-gradient above exercises the box
+    # projection derivative; the bu/bl theta-plumbing carries the zeros)
+    for g in grads[1:]:
+        assert np.abs(np.asarray(g)).max() < 1e-8
