@@ -146,6 +146,7 @@ _SETTING_NAMES = {
     # TPU-build extras (no scs-python analog)
     "linsys", "dtype", "chunk_iters", "acceleration_type_1",
     "acceleration_regularization", "acceleration_relaxation",
+    "mixed_precision", "profile_phases",
 }
 
 
@@ -181,6 +182,10 @@ def _info_dict(info) -> dict:
         "comp_slack": info.comp_slack,
         "setup_time": info.setup_time,
         "solve_time": info.solve_time,
+        # per-phase ms (scs.h:230-236; NaN unless profile_phases=True)
+        "lin_sys_time": info.lin_sys_time,
+        "cone_time": info.cone_time,
+        "accel_time": info.accel_time,
         "scale": info.scale,
         "scale_updates": info.scale_updates,
         "rejected_accel_steps": info.rejected_accel_steps,
