@@ -129,7 +129,8 @@ def _search_bracket(v0, pdist_sq, ddist_sq):
     tpu_ = jnp.maximum(1e-12, jnp.minimum(Dd, Dp + t0))
     val_r = r0 * _pomega(low_r)
     sgn_r = jnp.where(val_r < 0, -1.0, 1.0)
-    curbnd_r = jnp.maximum(low_r, baselow_r + _safediv_pos(tpu_, jnp.abs(val_r)) * sgn_r)
+    curbnd_r = jnp.maximum(
+        low_r, baselow_r + _safediv_pos(tpu_, jnp.abs(val_r)) * sgn_r)
     pos_r = r0 > 0
     baselow = jnp.where(pos_r, baselow_r, baselow)
     low = jnp.where(pos_r, low_r, low)

@@ -69,7 +69,6 @@ diffcp wraps it externally with hand-written cone derivatives
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Optional
 
 import jax
