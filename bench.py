@@ -25,6 +25,15 @@ import numpy as np
 # in 4.40e-2 s solve time
 _FALLBACK_SCS_ITERS_PER_SEC = 12_500.0
 
+# Last measurement captured on the real chip; single source of truth for
+# the tunnel-down fallback record below. Update alongside README.md
+# "Measured on one TPU v5 lite chip" and docs/PERFORMANCE.md when a real
+# TPU run improves it.
+_LAST_TPU_MEASUREMENT = {
+    "value": 40100.0, "vs_baseline": 2.74, "batch": 1024,
+    "date": "2026-08-17", "source": "README.md / docs/PERFORMANCE.md",
+}
+
 _SCS_BUILD = "/tmp/scs_bench_build"
 
 
@@ -106,11 +115,7 @@ def main():
             "metric": "ADMM iterations/s/chip (batched n=100 SOCP, eps=1e-4)",
             "value": 0, "unit": "iters/s/chip", "vs_baseline": 0,
             "error": "device backend unreachable (tunnel down) after 20 min",
-            "last_recorded_on_tpu": {
-                "value": 40100.0, "vs_baseline": 2.74, "batch": 1024,
-                "date": "2026-08-17",
-                "source": "README.md / docs/PERFORMANCE.md",
-            },
+            "last_recorded_on_tpu": _LAST_TPU_MEASUREMENT,
         }))
         return
     baseline = scs_baseline_iters_per_sec()

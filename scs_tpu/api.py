@@ -25,8 +25,8 @@ from .equilibrate import (equilibrate, identity_scaling, normalize_b_c,
 from .linsys import (Mats, get_backend, prepare_operands,
                      resolve_mixed)
 from .solver import (TRACE_COLUMNS, LoopState, ProblemData, Residuals,
-                     make_runner, make_trace_runner, populate_residuals,
-                     set_diag_r)
+                     make_runner, make_trace_runner, pack_warm_v,
+                     populate_residuals, set_diag_r)
 from .types import ConeData, ConeSpec, Info, Problem, Settings, Solution
 from .validation import ValidationError, validate
 
@@ -306,12 +306,7 @@ class Workspace:
             s = jnp.asarray(warm_sol.s, dtype)
             if stg.normalize:
                 x, y, s = normalize_xys(self.data.scal, x, y, s)
-            r_y = self.diag_r[n:n + m]
-            vy = y + s / r_y
-            v = jnp.concatenate([
-                jnp.where(jnp.isnan(x), 0.0, x),
-                jnp.where(jnp.isnan(vy), 0.0, vy),
-                jnp.ones((1,), dtype)])
+            v = pack_warm_v(x, y, s, self.diag_r, scrub_nan=True)
         else:
             v = zero_l.at[l - 1].set(1.0)
 

@@ -76,7 +76,8 @@ import jax.numpy as jnp
 
 from . import config
 from .parallel.batch import make_pure_solver, make_solver_parts
-from .solver import make_steps, set_diag_r
+from .solver import (make_steps, pack_warm_v, renormalize_v,
+                     set_diag_r)
 from .types import ConeSpec, Settings
 from .validation import ValidationError
 
@@ -98,7 +99,10 @@ def make_diff_solver(spec: ConeSpec, settings: Optional[Settings] = None,
                      ridge: float = 0.0):
     """Build diff_solve(A, b, c[, P][, bu, bl]) -> (x, y, s), differentiable.
 
-    The returned function is jit-compatible and vmap-compatible.
+    The returned function is jit-compatible and composes with vmap
+    (validated batching jax.grad of a scalar loss over problem batches;
+    note that vmapping the full while_loop solver compiles very slowly
+    on the single-core CPU backend — batch on accelerators).
     Reverse-mode (jax.grad / jax.vjp) flows into every array argument by
     default; pass ``mode="jvp"`` (keyword, at call time) for forward-mode
     sensitivities instead (jax.jvp — diffcp's `derivative` vs its
@@ -155,15 +159,12 @@ def make_diff_solver(spec: ConeSpec, settings: Optional[Settings] = None,
         return st.v, sol
 
     def _pack_fixed_point(x, y, s, m, n, dtype):
-        """v* = [x; y + s/R_y; 1], renormalized (api._init_state packing)."""
+        """v* = [x; y + s/R_y; 1], renormalized — the solver's own
+        warm-start packing (solver.pack_warm_v) followed by the loop's
+        iterate normalization, so Phi maps v* to itself."""
         diag_r = set_diag_r(spec, n, m, jnp.asarray(stg_fp.scale, dtype),
                             stg_fp.rho_x, dtype)
-        r_y = diag_r[n:n + m]
-        v = jnp.concatenate([x, y + s / r_y, jnp.ones((1,), dtype)])
-        l = n + m + 1
-        nrm = jnp.linalg.norm(v)
-        return v * (jnp.sqrt(jnp.asarray(l, dtype)) * config.ITERATE_NORM
-                    / jnp.where(nrm > 0, nrm, 1.0))
+        return renormalize_v(pack_warm_v(x, y, s, diag_r))
 
     def _solve_impl(theta):
         A, P, b, c, bu, bl = theta

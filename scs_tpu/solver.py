@@ -144,6 +144,31 @@ def _safediv_pos(x, y):
     return jnp.where(y < config.DIV_EPS_TOL, x / config.DIV_EPS_TOL, x / y)
 
 
+def pack_warm_v(x, y, s, diag_r, scrub_nan: bool = False):
+    """v = [x; y + s/R_y; 1] — the DR fixed point corresponding to a
+    solution. Single home for the convention shared by the warm-start
+    packing (api._init_state; scs.c:660-685) and the fixed-point
+    reconstruction of the implicit differentiation (diff.py)."""
+    n = x.shape[0]
+    m = y.shape[0]
+    r_y = diag_r[n:n + m]
+    vy = y + s / r_y
+    if scrub_nan:
+        x = jnp.where(jnp.isnan(x), 0.0, x)
+        vy = jnp.where(jnp.isnan(vy), 0.0, vy)
+    return jnp.concatenate([x, vy, jnp.ones((1,), x.dtype)])
+
+
+def renormalize_v(v):
+    """Rescale v to the loop's constant norm sqrt(l) * ITERATE_NORM
+    (iteration step 2; homogeneity, scs.c:813-821). Zero-norm v is
+    returned unchanged."""
+    l = v.shape[0]
+    nrm = jnp.linalg.norm(v)
+    return v * (jnp.sqrt(jnp.asarray(l, v.dtype)) * config.ITERATE_NORM
+                / jnp.where(nrm > 0, nrm, 1.0))
+
+
 def set_diag_r(spec: ConeSpec, n: int, m: int, scale, rho_x, dtype):
     """diag_r = [rho_x 1_n; r_y; TAU_FACTOR] (scs.c:971-980, cones.c:349-363).
 
@@ -442,10 +467,8 @@ def make_steps(spec: ConeSpec, stg: Settings):
 
         # 2. normalize v to L2 norm sqrt(l) (homogeneity; scs.c:813-821)
         v_norm = jnp.linalg.norm(v)
-        v_scaled = v * (jnp.sqrt(jnp.asarray(l, dtype))
-                        * config.ITERATE_NORM / jnp.where(v_norm > 0, v_norm, 1.0))
         v = jnp.where((i >= config.FEASIBLE_ITERS) & (v_norm > 0.0),
-                      v_scaled, v)
+                      renormalize_v(v), v)
 
         # 3. snapshot for the AA safeguard
         v_prev = v
