@@ -323,3 +323,48 @@ def test_grad_box_cone_bounds():
     # projection derivative; the bu/bl theta-plumbing carries the zeros)
     for g in grads[1:]:
         assert np.abs(np.asarray(g)).max() < 1e-8
+
+
+def test_grad_medium_scale_directional():
+    """Directional FD check at a realistic size (n=40, m=120): validates
+    that the matrix-free GMRES adjoint converges beyond toy dimensions
+    (dense-Jacobian ground truth is unavailable here by design)."""
+    rng = np.random.RandomState(0)
+    z, l, n = 10, 110, 40
+    m = z + l
+    act = n - z
+    A = rng.randn(m, n)
+    y = np.zeros(m); s = np.zeros(m)
+    y[:z] = rng.randn(z)
+    y[z:z + act] = rng.rand(act) + 0.5
+    s[z + act:] = rng.rand(l - act) + 0.5
+    x = rng.randn(n)
+    b = jnp.asarray(A @ x + s)
+    c = jnp.asarray(-A.T @ y)
+    A = jnp.asarray(A)
+    spec = ConeSpec(z=z, l=l)
+    # restart >= system size: restarted GMRES truncates the Krylov space
+    # and leaves ~0.2% gradient error at this scale
+    solve = make_diff_solver(spec, TIGHT, gmres_restart=160)
+    w = jnp.asarray(rng.randn(n))
+
+    @jax.jit
+    def loss(A, b, c):
+        return w @ solve(A, b, c)[0]
+
+    gA, gb, gc = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))(A, b, c)
+    assert all(bool(jnp.all(jnp.isfinite(g))) for g in (gA, gb, gc))
+    # FD step large relative to the ~1e-9 solve error (noise/eps would
+    # dominate at 1e-6); the LP solution map is locally affine, so the
+    # curvature penalty of the bigger step is negligible
+    eps = 1e-4
+    for i, (name, g, arg) in enumerate([("A", gA, A), ("b", gb, b),
+                                        ("c", gc, c)]):
+        d = jnp.asarray(rng.randn(*arg.shape))
+        d = d / jnp.linalg.norm(d)
+        args_p = [A, b, c]; args_m = [A, b, c]
+        args_p[i] = arg + eps * d
+        args_m[i] = arg - eps * d
+        fd = (float(loss(*args_p)) - float(loss(*args_m))) / (2 * eps)
+        an = float(jnp.sum(g * d))
+        assert abs(an - fd) < 5e-5 + 5e-4 * max(abs(fd), 1.0), (name, an, fd)
