@@ -106,10 +106,14 @@ class ConeLayout:
 
 def proj_cone(x: jnp.ndarray, spec: ConeSpec, cone_data: ConeData,
               box_t_warm, r_y: Optional[jnp.ndarray],
-              psd_f32: bool = False):
+              psd_f32: bool = False,
+              psd_warm: Optional[jnp.ndarray] = None,
+              psd_rank: int = 0):
     """Project x onto the primal cone K (in the r_y-inverse metric for box).
 
     Returns (projected x, new box warm start). All offsets static.
+    psd_warm (same layout as x) carries the previous iteration's INNER
+    projection for the subspace-tracked PSD path (Settings.psd_rank).
     """
     lay = ConeLayout.make(spec)
     assert x.shape[0] == lay.total, (x.shape, lay.total)
@@ -148,8 +152,11 @@ def proj_cone(x: jnp.ndarray, spec: ConeSpec, cone_data: ConeData,
             continue
         tri = sz * (sz + 1) // 2
         seg = x[off:off + tri * ct].reshape(ct, tri)
-        parts.append(psd.proj_psd_batch(seg, sz,
-                                        f32_eig=psd_f32).reshape(-1))
+        wseg = (None if psd_warm is None
+                else psd_warm[off:off + tri * ct].reshape(ct, tri))
+        parts.append(psd.proj_psd_batch(
+            seg, sz, f32_eig=psd_f32, warm=wseg,
+            psd_rank=psd_rank).reshape(-1))
         off += tri * ct
     off = lay.cs_off
     for (sz, ct) in _contiguous_runs(spec.cs):
@@ -208,7 +215,9 @@ def proj_cone(x: jnp.ndarray, spec: ConeSpec, cone_data: ConeData,
 
 def proj_dual_cone(x: jnp.ndarray, spec: ConeSpec, cone_data: ConeData,
                    box_t_warm, r_y: Optional[jnp.ndarray],
-                   psd_f32: bool = False):
+                   psd_f32: bool = False,
+                   psd_warm: Optional[jnp.ndarray] = None,
+                   psd_rank: int = 0):
     """Moreau decomposition under the diagonal R metric (cones.c:1552-1596):
 
         Pi_C^R(x) = x + R^{-1} Pi_{C*}^{R^{-1}}(-R x)
@@ -218,6 +227,7 @@ def proj_dual_cone(x: jnp.ndarray, spec: ConeSpec, cone_data: ConeData,
     s = x
     xr = -x if r_y is None else -x * r_y
     proj, new_warm = proj_cone(xr, spec, cone_data, box_t_warm, r_y,
-                               psd_f32=psd_f32)
+                               psd_f32=psd_f32, psd_warm=psd_warm,
+                               psd_rank=psd_rank)
     out = proj + s if r_y is None else proj / r_y + s
     return out, new_warm

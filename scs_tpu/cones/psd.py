@@ -15,6 +15,7 @@ diagonal entries (src/cones.c:1072-1156).
 """
 
 import functools
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -91,7 +92,9 @@ def mat_to_svec(M: jnp.ndarray, ns: int) -> jnp.ndarray:
 
 
 def proj_psd_batch(v: jnp.ndarray, ns: int,
-                   f32_eig: bool = False) -> jnp.ndarray:
+                   f32_eig: bool = False,
+                   warm: Optional[jnp.ndarray] = None,
+                   psd_rank: int = 0) -> jnp.ndarray:
     """Project (k, tri) packed vectors onto the PSD cone of dim ns.
 
     f32_eig runs the eigendecomposition + reconstruction in f32 (the TPU
@@ -99,20 +102,55 @@ def proj_psd_batch(v: jnp.ndarray, ns: int,
     ~1e-5-grade residuals in BOTH precisions, but f64 costs ~33x more
     (n=500: 515 ms vs 16 ms measured) — so f64 eigh on TPU buys only
     slowness. CPU/pure paths keep the dtype's native eigh.
+
+    With psd_rank > 0 and a `warm` segment (the previous iteration's
+    projection, packed like v), the certificate-gated subspace projection
+    (ops/subspace.py) replaces the eigendecomposition whenever its
+    exactness gate passes — O(ns^2 rank) matmuls instead of O(ns^3) eigh,
+    with eigh behind a lax.cond fallback (free when skipped on the
+    unbatched path).
     """
     if ns == 1:
         return jnp.maximum(v, 0.0)
     dtype = v.dtype
 
     M = jax.vmap(lambda vi: svec_to_mat(vi, ns))(v)
-    if f32_eig:
-        # keep the WHOLE fast path (eigh + reconstruction) in f32: the
-        # fast phase doesn't need more accuracy, and f32 halves traffic
-        w, V = jnp.linalg.eigh(M.astype(jnp.float32))
-    else:
-        w, V = _eigh_accurate(M)
-    w = jnp.maximum(w, 0.0)
-    Mp = _reconstruct(V, w, dtype)
+
+    def _exact(Mx):
+        if f32_eig:
+            # keep the WHOLE fast path (eigh + reconstruction) in f32:
+            # the fast phase doesn't need more accuracy, and f32 halves
+            # traffic
+            w, V = jnp.linalg.eigh(Mx.astype(jnp.float32))
+        else:
+            w, V = _eigh_accurate(Mx)
+        w = jnp.maximum(w, 0.0)
+        return _reconstruct(V, w, dtype)
+
+    if psd_rank and warm is not None and 2 * psd_rank < ns:
+        from ..ops import subspace
+
+        P_prev = jax.vmap(lambda vi: svec_to_mat(vi, ns))(warm)
+        # gate tolerance: fast phase floors at ~1e-5 true residuals, so
+        # 1e-6-grade projections are invisible there; the accurate path
+        # needs certificate-grade projections (eps_infeas = 1e-7)
+        rel = 1e-6 if f32_eig else 1e-9
+        if f32_eig:
+            M32, P32 = M.astype(jnp.float32), P_prev.astype(jnp.float32)
+        else:
+            M32, P32 = M, P_prev
+        tol = rel * (1.0 + jnp.sqrt(jnp.sum(M32 * M32, axis=(-2, -1))))
+        sub, ok = jax.vmap(
+            lambda Mi, Pi, ti: subspace.psd_project_warm(
+                Mi, Pi, psd_rank, ti))(M32, P32, tol)
+        Mp = jax.lax.cond(
+            jnp.all(ok),
+            lambda _: sub.astype(dtype),
+            lambda _: _exact(M),
+            None)
+        return jax.vmap(lambda Mi: mat_to_svec(Mi, ns))(Mp)
+
+    Mp = _exact(M)
     return jax.vmap(lambda Mi: mat_to_svec(Mi, ns))(Mp)
 
 

@@ -368,9 +368,21 @@ def make_steps(spec: ConeSpec, stg: Settings):
         m, n = data.A.shape
         l = n + m + 1
         u_pre = 2.0 * u_t - st.v
+        psd_warm = None
+        if stg.psd_rank > 0:
+            # previous iteration's INNER cone projection, reconstructed
+            # from carried state (out = proj / r_y + s in the Moreau
+            # wrapper => proj = (u_prev - u_pre_prev) * r_y; v_prev is
+            # the post-normalize v the previous projections consumed).
+            # Its range is the warm subspace the tracked-rank PSD path
+            # starts from — no extra loop state needed.
+            r_y = st.diag_r[n:n + m]
+            u_pre_prev = 2.0 * st.u_t - st.v_prev
+            psd_warm = (st.u[n:n + m] - u_pre_prev[n:n + m]) * r_y
         y_proj, box_t = proj_dual_cone(
             u_pre[n:n + m], spec, data.cone, st.box_t_warm,
-            st.diag_r[n:n + m], psd_f32=mixed)
+            st.diag_r[n:n + m], psd_f32=mixed,
+            psd_warm=psd_warm, psd_rank=stg.psd_rank)
         tau = jnp.where(i < config.FEASIBLE_ITERS,
                         jnp.asarray(1.0, u_pre.dtype),
                         jnp.maximum(u_pre[l - 1], 0.0))

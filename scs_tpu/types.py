@@ -166,6 +166,13 @@ class Settings:
     # iterations dispatched per device program before host-side checks
     # (time limit / verbose printing); residual checks stay on-device
     chunk_iters: int = 2500
+    # Tracked-rank PSD projection (opt-in; 0 = off): when the solution's
+    # PSD blocks have rank << n, the positive eigenspace is TRACKED
+    # across iterations (certificate-gated subspace projection,
+    # ops/subspace.py) instead of recomputed by eigh — O(n^2 rank) vs
+    # O(n^3) whenever the exactness gate passes (typically the long
+    # convergence tail and warm re-solves). Set to ~(expected rank + 10).
+    psd_rank: int = 0
     # populate Info.lin_sys_time/cone_time/accel_time after each solve
     # (scs.h:230-236). The compiled solve fuses all phases into one XLA
     # program, so attribution is per-phase ms (measured standalone, once

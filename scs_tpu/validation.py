@@ -153,3 +153,5 @@ def validate_settings(stg: Settings) -> None:
     if (not math.isfinite(stg.acceleration_relaxation)
             or not (0 <= stg.acceleration_relaxation <= 2)):
         raise ValidationError("acceleration_relaxation must be in [0, 2]")
+    if not isinstance(stg.psd_rank, int) or stg.psd_rank < 0:
+        raise ValidationError("psd_rank must be a nonnegative integer")

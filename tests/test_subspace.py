@@ -1,0 +1,116 @@
+"""Tracked-rank PSD projection (Settings.psd_rank / ops/subspace.py):
+certificate gate correctness and end-to-end equivalence with the exact
+eigendecomposition path on low-rank SDPs."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import scs_tpu
+from scs_tpu import config
+from scs_tpu.cones.psd import mat_to_svec
+from scs_tpu.ops.subspace import psd_project_warm
+from scs_tpu.types import ConeSpec, Problem, Settings
+from scs_tpu.validation import ValidationError
+
+
+def _rand_indef(n, r, seed=0):
+    """Symmetric matrix with exactly r positive eigenvalues."""
+    rng = np.random.RandomState(seed)
+    Q, _ = np.linalg.qr(rng.randn(n, n))
+    lam = np.concatenate([rng.rand(r) + 0.5, -(rng.rand(n - r) + 0.1)])
+    M = (Q * lam) @ Q.T
+    return 0.5 * (M + M.T), Q, lam
+
+
+def test_op_gate_and_accuracy():
+    n, r = 80, 6
+    M, Q, lam = _rand_indef(n, r)
+    P_exact = (Q * np.maximum(lam, 0)) @ Q.T
+    rng = np.random.RandomState(1)
+
+    # exact warm start: certificate passes, projection exact
+    proj, ok = psd_project_warm(jnp.asarray(M), jnp.asarray(P_exact),
+                                rank=r + 10, tol=1e-7)
+    assert bool(ok)
+    assert float(jnp.abs(proj - P_exact).max()) < 1e-12
+
+    # small drift: passes with error well under the gate tolerance
+    P_prev = P_exact + 1e-6 * rng.randn(n, n)
+    proj, ok = psd_project_warm(jnp.asarray(M),
+                                jnp.asarray(0.5 * (P_prev + P_prev.T)),
+                                rank=r + 10, tol=1e-4)
+    assert bool(ok)
+    assert float(jnp.abs(proj - P_exact).max()) < 1e-5
+
+    # rank too small for the positive count: headroom check rejects
+    _, ok = psd_project_warm(jnp.asarray(M), jnp.asarray(P_exact),
+                             rank=3, tol=1e-4)
+    assert not bool(ok)
+
+    # garbage warm start at tight tolerance: residual gate rejects
+    _, ok = psd_project_warm(jnp.asarray(M), jnp.asarray(rng.randn(n, n)),
+                             rank=r + 10, tol=1e-9)
+    assert not bool(ok)
+
+
+def _planted_lowrank_sdp(ns=16, r=3, n=10, seed=0):
+    """SDP with a planted rank-r PSD block (strictly complementary:
+    s = V+ L+ V+', y = V- L- V-' on complementary eigenspaces)."""
+    rng = np.random.RandomState(seed)
+    tri = ns * (ns + 1) // 2
+    l = 4
+    m = l + tri
+    A = rng.randn(m, n)
+    Q, _ = np.linalg.qr(rng.randn(ns, ns))
+    S = (Q[:, :r] * (rng.rand(r) + 0.5)) @ Q[:, :r].T
+    Y = (Q[:, r:] * (rng.rand(ns - r) + 0.5)) @ Q[:, r:].T
+    y = np.zeros(m)
+    s = np.zeros(m)
+    act = 2
+    y[:act] = rng.rand(act) + 0.5
+    s[act:l] = rng.rand(l - act) + 0.5
+    s[l:] = np.asarray(mat_to_svec(jnp.asarray(S), ns))
+    y[l:] = np.asarray(mat_to_svec(jnp.asarray(Y), ns))
+    x = rng.randn(n)
+    b = A @ x + s
+    c = -A.T @ y
+    spec = ConeSpec(l=l, s=(ns,))
+    prob = Problem(A=jnp.asarray(A), b=jnp.asarray(b), c=jnp.asarray(c))
+    return prob, spec, float(c @ x)
+
+
+@pytest.mark.parametrize("linsys", ["direct", "indirect"])
+def test_sdp_with_tracked_rank_matches_exact(linsys):
+    """Low-rank SDP: the psd_rank path must reproduce the exact-eigh
+    solve (status, objective, solution) — the certificate gate falls
+    back to eigh whenever the subspace answer would be off."""
+    prob, spec, opt = _planted_lowrank_sdp()
+    stg0 = Settings(linsys=linsys, eps_abs=1e-7, eps_rel=1e-7)
+    sol0, info0 = scs_tpu.solve(prob, spec, settings=stg0)
+    assert info0.status_val == config.SOLVED
+    stg1 = Settings(linsys=linsys, eps_abs=1e-7, eps_rel=1e-7, psd_rank=6)
+    sol1, info1 = scs_tpu.solve(prob, spec, settings=stg1)
+    assert info1.status_val == config.SOLVED, info1.status
+    assert abs(info1.pobj - opt) < 1e-5 * (1 + abs(opt))
+    assert abs(info1.pobj - info0.pobj) < 1e-5 * (1 + abs(opt))
+    np.testing.assert_allclose(np.asarray(sol1.x), np.asarray(sol0.x),
+                               atol=2e-4, rtol=1e-3)
+
+
+def test_rank_too_small_still_correct():
+    """psd_rank far below the solution rank: the gate rejects every
+    iteration and the solve silently runs the exact path throughout."""
+    prob, spec, opt = _planted_lowrank_sdp(ns=12, r=6)
+    stg = Settings(eps_abs=1e-7, eps_rel=1e-7, psd_rank=2)
+    sol, info = scs_tpu.solve(prob, spec, settings=stg)
+    assert info.status_val == config.SOLVED
+    assert abs(info.pobj - opt) < 1e-5 * (1 + abs(opt))
+
+
+def test_psd_rank_validation():
+    prob, spec, _ = _planted_lowrank_sdp(ns=8, r=2)
+    with pytest.raises(ValidationError, match="psd_rank"):
+        scs_tpu.solve(prob, spec, settings=Settings(psd_rank=-1))
