@@ -114,3 +114,33 @@ def test_psd_rank_validation():
     prob, spec, _ = _planted_lowrank_sdp(ns=8, r=2)
     with pytest.raises(ValidationError, match="psd_rank"):
         scs_tpu.solve(prob, spec, settings=Settings(psd_rank=-1))
+
+
+def test_warm_resolve_sequence_with_tracked_rank():
+    """Parametric SDP sequence (the MPC-style workflow): update b
+    slightly, warm re-solve with psd_rank — the tracked subspace starts
+    near-converged, so the gate can fire from the first iterations; the
+    answers must track the exact path throughout."""
+    prob, spec, _ = _planted_lowrank_sdp()
+    stg = Settings(eps_abs=1e-7, eps_rel=1e-7, psd_rank=6)
+    stg0 = Settings(eps_abs=1e-7, eps_rel=1e-7)
+    w = scs_tpu.Workspace(prob, spec, settings=stg)
+    w0 = scs_tpu.Workspace(prob, spec, settings=stg0)
+    sol, info = w.solve()
+    sol0, info0 = w0.solve()
+    rng = np.random.RandomState(3)
+    for step in range(3):
+        # perturb b within range(A): s = b - Ax stays exactly on the
+        # planted boundary point (a random b perturbation would push s
+        # off the rank-3 PSD face — genuinely infeasible with only
+        # n=10 primal degrees of freedom against 136 cone rows)
+        b_new = np.asarray(prob.b) + np.asarray(prob.A) @ (
+            1e-3 * rng.randn(prob.A.shape[1]))
+        w.update(b=b_new)
+        w0.update(b=b_new)
+        sol, info = w.solve(warm_start=True, sol=sol)
+        sol0, info0 = w0.solve(warm_start=True, sol=sol0)
+        assert info.status_val == config.SOLVED, info.status
+        assert abs(info.pobj - info0.pobj) < 1e-5 * (1 + abs(info0.pobj))
+        np.testing.assert_allclose(np.asarray(sol.x), np.asarray(sol0.x),
+                                   atol=5e-4, rtol=1e-3)
