@@ -164,8 +164,11 @@ def proj_cone(x: jnp.ndarray, spec: ConeSpec, cone_data: ConeData,
             continue
         full = sz * sz
         seg = x[off:off + full * ct].reshape(ct, full)
-        parts.append(psd.proj_cpsd_batch(seg, sz,
-                                         f32_eig=psd_f32).reshape(-1))
+        wseg = (None if psd_warm is None
+                else psd_warm[off:off + full * ct].reshape(ct, full))
+        parts.append(psd.proj_cpsd_batch(
+            seg, sz, f32_eig=psd_f32, warm=wseg,
+            psd_rank=psd_rank).reshape(-1))
         off += full * ct
     n_exp = spec.ep + spec.ed
     if n_exp:

@@ -199,7 +199,9 @@ def _cplx_indices(ns: int):
 
 
 def proj_cpsd_batch(v: jnp.ndarray, ns: int,
-                    f32_eig: bool = False) -> jnp.ndarray:
+                    f32_eig: bool = False,
+                    warm: Optional[jnp.ndarray] = None,
+                    psd_rank: int = 0) -> jnp.ndarray:
     """Project (k, ns^2) real-packed vectors onto the complex PSD cone.
 
     Uses the real embedding of a Hermitian matrix M = Re + i Im:
@@ -207,6 +209,10 @@ def proj_cpsd_batch(v: jnp.ndarray, ns: int,
     E is a *-algebra homomorphism, so the PSD projection commutes with it:
     proj(E(M)) = E(proj(M)), with each eigenvalue of M appearing twice.
     This keeps the projection in real f64 eigh (TPU has no complex128 eigh).
+
+    psd_rank/warm: tracked-rank path as in proj_psd_batch, applied to the
+    real embedding (every complex eigenvalue doubles, so the tracked
+    dimension is 2*psd_rank).
     """
     if ns == 1:
         return jnp.maximum(v, 0.0)
@@ -236,11 +242,36 @@ def proj_cpsd_batch(v: jnp.ndarray, ns: int,
         return out
 
     E = jax.vmap(embed)(v)
-    if f32_eig:
-        # f32 end-to-end on the fast path (see proj_psd_batch)
-        w, V = jnp.linalg.eigh(E.astype(jnp.float32))
-    else:
-        w, V = _eigh_accurate(E)
-    w = jnp.maximum(w, 0.0)
-    Ep = _reconstruct(V, w, dtype)
+
+    def _exact(Ex):
+        if f32_eig:
+            # f32 end-to-end on the fast path (see proj_psd_batch)
+            w, V = jnp.linalg.eigh(Ex.astype(jnp.float32))
+        else:
+            w, V = _eigh_accurate(Ex)
+        w = jnp.maximum(w, 0.0)
+        return _reconstruct(V, w, dtype)
+
+    k2 = 2 * psd_rank   # eigenvalues pair up in the embedding
+    if psd_rank and warm is not None and 2 * k2 < 2 * ns:
+        from ..ops import subspace
+
+        P_prev = jax.vmap(embed)(warm)
+        rel = 1e-6 if f32_eig else 1e-9
+        if f32_eig:
+            E32, P32 = E.astype(jnp.float32), P_prev.astype(jnp.float32)
+        else:
+            E32, P32 = E, P_prev
+        tol = rel * (1.0 + jnp.sqrt(jnp.sum(E32 * E32, axis=(-2, -1))))
+        sub, ok = jax.vmap(
+            lambda Mi, Pi, ti: subspace.psd_project_warm(
+                Mi, Pi, k2, ti))(E32, P32, tol)
+        Ep = jax.lax.cond(
+            jnp.all(ok),
+            lambda _: sub.astype(dtype),
+            lambda _: _exact(E),
+            None)
+        return jax.vmap(unembed)(v, Ep)
+
+    Ep = _exact(E)
     return jax.vmap(unembed)(v, Ep)

@@ -144,3 +144,54 @@ def test_warm_resolve_sequence_with_tracked_rank():
         assert abs(info.pobj - info0.pobj) < 1e-5 * (1 + abs(info0.pobj))
         np.testing.assert_allclose(np.asarray(sol.x), np.asarray(sol0.x),
                                    atol=5e-4, rtol=1e-3)
+
+
+def test_cpsd_tracked_rank_matches_exact():
+    """Complex-PSD block with a planted low-rank solution: the tracked
+    path (real embedding, 2*psd_rank) reproduces the exact solve."""
+    rng = np.random.RandomState(4)
+    ns, r, n, l = 10, 2, 8, 4
+    full = ns * ns
+    m = l + full
+    A = rng.randn(m, n)
+    # Hermitian low-rank S, complementary Y via a unitary eigenbasis
+    H = rng.randn(ns, ns) + 1j * rng.randn(ns, ns)
+    Q, _ = np.linalg.qr(H)
+    S = (Q[:, :r] * (rng.rand(r) + 0.5)) @ Q[:, :r].conj().T
+    Y = (Q[:, r:] * (rng.rand(ns - r) + 0.5)) @ Q[:, r:].conj().T
+
+    def pack(M):
+        # reference complex packing (src/cones.c:1095-1103)
+        out = np.zeros(full)
+        off = 0
+        for i in range(ns - 1):
+            out[off] = M[i, i].real
+            k = off + 1
+            for rrow in range(i + 1, ns):
+                out[k] = M[rrow, i].real * np.sqrt(2.0)
+                out[k + 1] = M[rrow, i].imag * np.sqrt(2.0)
+                k += 2
+            off += 2 * (ns - i) - 1
+        out[full - 1] = M[ns - 1, ns - 1].real
+        return out
+
+    y = np.zeros(m); s = np.zeros(m)
+    y[:2] = rng.rand(2) + 0.5
+    s[2:l] = rng.rand(2) + 0.5
+    s[l:] = pack(S)
+    y[l:] = pack(Y)
+    x = rng.randn(n)
+    b = A @ x + s
+    c = -A.T @ y
+    spec = ConeSpec(l=l, cs=(ns,))
+    prob = Problem(A=jnp.asarray(A), b=jnp.asarray(b), c=jnp.asarray(c))
+    opt = float(c @ x)
+    stg0 = Settings(eps_abs=1e-7, eps_rel=1e-7)
+    sol0, info0 = scs_tpu.solve(prob, spec, settings=stg0)
+    assert info0.status_val == config.SOLVED
+    stg1 = Settings(eps_abs=1e-7, eps_rel=1e-7, psd_rank=4)
+    sol1, info1 = scs_tpu.solve(prob, spec, settings=stg1)
+    assert info1.status_val == config.SOLVED, info1.status
+    assert abs(info1.pobj - opt) < 1e-5 * (1 + abs(opt))
+    np.testing.assert_allclose(np.asarray(sol1.x), np.asarray(sol0.x),
+                               atol=2e-4, rtol=1e-3)
