@@ -91,6 +91,36 @@ def mat_to_svec(M: jnp.ndarray, ns: int) -> jnp.ndarray:
     return M[tri_r, tri_c] * pack_scale.astype(M.dtype)
 
 
+def _tracked_or_exact(Mb, warm_b, psd_rank, f32_eig, exact_fn, dtype,
+                      embed_factor=1):
+    """Shared tracked-rank dispatch: certificate-gated subspace projection
+    with the exact path behind lax.cond. NOTE: under vmapped/batched
+    solves lax.cond lowers to select and BOTH branches execute — enabling
+    psd_rank on a batched run pays eigh AND the subspace path (strictly
+    slower); the knob is for the unbatched Workspace path (and warm
+    re-solve sequences), where the skipped branch is free."""
+    from ..ops import subspace
+
+    # gate tolerance: fast phase floors at ~1e-5 true residuals, so
+    # 1e-6-grade projections are invisible there; the accurate path
+    # needs certificate-grade projections (eps_infeas = 1e-7)
+    rel = 1e-6 if f32_eig else 1e-9
+    if f32_eig:
+        M32, P32 = Mb.astype(jnp.float32), warm_b.astype(jnp.float32)
+    else:
+        M32, P32 = Mb, warm_b
+    tol = rel * (1.0 + jnp.sqrt(jnp.sum(M32 * M32, axis=(-2, -1))))
+    k = embed_factor * psd_rank
+    sub, ok = jax.vmap(
+        lambda Mi, Pi, ti: subspace.psd_project_warm(Mi, Pi, k, ti))(
+            M32, P32, tol)
+    return jax.lax.cond(
+        jnp.all(ok),
+        lambda _: sub.astype(dtype),
+        lambda _: exact_fn(Mb),
+        None)
+
+
 def proj_psd_batch(v: jnp.ndarray, ns: int,
                    f32_eig: bool = False,
                    warm: Optional[jnp.ndarray] = None,
@@ -128,26 +158,8 @@ def proj_psd_batch(v: jnp.ndarray, ns: int,
         return _reconstruct(V, w, dtype)
 
     if psd_rank and warm is not None and 2 * psd_rank < ns:
-        from ..ops import subspace
-
         P_prev = jax.vmap(lambda vi: svec_to_mat(vi, ns))(warm)
-        # gate tolerance: fast phase floors at ~1e-5 true residuals, so
-        # 1e-6-grade projections are invisible there; the accurate path
-        # needs certificate-grade projections (eps_infeas = 1e-7)
-        rel = 1e-6 if f32_eig else 1e-9
-        if f32_eig:
-            M32, P32 = M.astype(jnp.float32), P_prev.astype(jnp.float32)
-        else:
-            M32, P32 = M, P_prev
-        tol = rel * (1.0 + jnp.sqrt(jnp.sum(M32 * M32, axis=(-2, -1))))
-        sub, ok = jax.vmap(
-            lambda Mi, Pi, ti: subspace.psd_project_warm(
-                Mi, Pi, psd_rank, ti))(M32, P32, tol)
-        Mp = jax.lax.cond(
-            jnp.all(ok),
-            lambda _: sub.astype(dtype),
-            lambda _: _exact(M),
-            None)
+        Mp = _tracked_or_exact(M, P_prev, psd_rank, f32_eig, _exact, dtype)
         return jax.vmap(lambda Mi: mat_to_svec(Mi, ns))(Mp)
 
     Mp = _exact(M)
@@ -252,25 +264,12 @@ def proj_cpsd_batch(v: jnp.ndarray, ns: int,
         w = jnp.maximum(w, 0.0)
         return _reconstruct(V, w, dtype)
 
-    k2 = 2 * psd_rank   # eigenvalues pair up in the embedding
-    if psd_rank and warm is not None and 2 * k2 < 2 * ns:
-        from ..ops import subspace
-
+    if psd_rank and warm is not None and 2 * psd_rank < ns:
         P_prev = jax.vmap(embed)(warm)
-        rel = 1e-6 if f32_eig else 1e-9
-        if f32_eig:
-            E32, P32 = E.astype(jnp.float32), P_prev.astype(jnp.float32)
-        else:
-            E32, P32 = E, P_prev
-        tol = rel * (1.0 + jnp.sqrt(jnp.sum(E32 * E32, axis=(-2, -1))))
-        sub, ok = jax.vmap(
-            lambda Mi, Pi, ti: subspace.psd_project_warm(
-                Mi, Pi, k2, ti))(E32, P32, tol)
-        Ep = jax.lax.cond(
-            jnp.all(ok),
-            lambda _: sub.astype(dtype),
-            lambda _: _exact(E),
-            None)
+        # embed_factor 2: every Hermitian eigenvalue doubles in the
+        # real embedding
+        Ep = _tracked_or_exact(E, P_prev, psd_rank, f32_eig, _exact,
+                               dtype, embed_factor=2)
         return jax.vmap(unembed)(v, Ep)
 
     Ep = _exact(E)

@@ -370,15 +370,14 @@ def make_steps(spec: ConeSpec, stg: Settings):
         u_pre = 2.0 * u_t - st.v
         psd_warm = None
         if stg.psd_rank > 0:
-            # previous iteration's INNER cone projection, reconstructed
-            # from carried state (out = proj / r_y + s in the Moreau
-            # wrapper => proj = (u_prev - u_pre_prev) * r_y; v_prev is
-            # the post-normalize v the previous projections consumed).
-            # Its range is the warm subspace the tracked-rank PSD path
-            # starts from — no extra loop state needed.
-            r_y = st.diag_r[n:n + m]
-            u_pre_prev = 2.0 * st.u_t - st.v_prev
-            psd_warm = (st.u[n:n + m] - u_pre_prev[n:n + m]) * r_y
+            # previous iteration's INNER cone projection IS the carried
+            # rsk: rsk = R(v + u - 2 u_t) with the v the projections
+            # consumed, and the Moreau wrapper gives
+            # proj = (u - (2 u_t - v)) * r_y — the same rows. (v_prev is
+            # NOT usable here: step 3 overwrites it with the current v
+            # before this point.) The adaptive-scale remap preserves rsk,
+            # so the warm range survives scale updates too.
+            psd_warm = st.rsk[n:n + m]
         y_proj, box_t = proj_dual_cone(
             u_pre[n:n + m], spec, data.cone, st.box_t_warm,
             st.diag_r[n:n + m], psd_f32=mixed,

@@ -172,6 +172,8 @@ class Settings:
     # ops/subspace.py) instead of recomputed by eigh — O(n^2 rank) vs
     # O(n^3) whenever the exactness gate passes (typically the long
     # convergence tail and warm re-solves). Set to ~(expected rank + 10).
+    # Unbatched (Workspace) solves only: under vmapped/batched solving
+    # lax.cond runs BOTH branches, so the knob only ADDS cost there.
     psd_rank: int = 0
     # populate Info.lin_sys_time/cone_time/accel_time after each solve
     # (scs.h:230-236). The compiled solve fuses all phases into one XLA

@@ -8,6 +8,7 @@ SCS(validate_cones) src/cones.c:583-763.
 from __future__ import annotations
 
 import math
+import numbers
 
 import numpy as np
 
@@ -153,5 +154,7 @@ def validate_settings(stg: Settings) -> None:
     if (not math.isfinite(stg.acceleration_relaxation)
             or not (0 <= stg.acceleration_relaxation <= 2)):
         raise ValidationError("acceleration_relaxation must be in [0, 2]")
-    if not isinstance(stg.psd_rank, int) or stg.psd_rank < 0:
+    if (isinstance(stg.psd_rank, bool)
+            or not isinstance(stg.psd_rank, numbers.Integral)
+            or stg.psd_rank < 0):
         raise ValidationError("psd_rank must be a nonnegative integer")

@@ -195,3 +195,27 @@ def test_cpsd_tracked_rank_matches_exact():
     assert abs(info1.pobj - opt) < 1e-5 * (1 + abs(opt))
     np.testing.assert_allclose(np.asarray(sol1.x), np.asarray(sol0.x),
                                atol=2e-4, rtol=1e-3)
+
+
+def test_certificate_catches_hidden_eigenvalues():
+    """Adversarial soundness: positive eigenvalues planted OUTSIDE the
+    warm range must trip the certificate (the original power-iteration
+    check converged to the most NEGATIVE eigenvalue of the indefinite
+    deflated operator and was vacuous; Lanczos from two starts is not)."""
+    rng = np.random.RandomState(0)
+    n, r = 80, 6
+    Q, _ = np.linalg.qr(rng.randn(n, n))
+    lam = np.concatenate([rng.rand(r) + 0.5, -(rng.rand(n - r) + 0.1)])
+    for trial in range(12):
+        theta = 10 ** rng.uniform(-4, -1.5)
+        lam2 = lam.copy()
+        lam2[r + 1 + trial % (n - r - 2)] = theta
+        M = (Q * lam2) @ Q.T
+        M = 0.5 * (M + M.T)
+        P_prev = (Q[:, :r] * np.maximum(lam2[:r], 0)) @ Q[:, :r].T
+        proj, ok = psd_project_warm(jnp.asarray(M), jnp.asarray(P_prev),
+                                    rank=r + 10, tol=1e-7)
+        w, V = np.linalg.eigh(M)
+        P_exact = (V * np.maximum(w, 0)) @ V.T
+        err = float(jnp.abs(proj - P_exact).max())
+        assert (not bool(ok)) or err < 1e-6, (trial, theta, err)
