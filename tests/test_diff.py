@@ -368,3 +368,25 @@ def test_grad_medium_scale_directional():
         fd = (float(loss(*args_p)) - float(loss(*args_m))) / (2 * eps)
         an = float(jnp.sum(g * d))
         assert abs(an - fd) < 5e-5 + 5e-4 * max(abs(fd), 1.0), (name, an, fd)
+
+
+def test_jvp_mode_with_P():
+    """Forward-mode sensitivities through a QP: directional derivative
+    w.r.t. P matches FD (symmetric-perturbation convention)."""
+    import functools
+    spec = ConeSpec(z=2, l=5)
+    prob = _gen_strictly_complementary(z=2, l=5, n=4, act=1, seed=4,
+                                       with_P=True)
+    solve = make_diff_solver(spec, TIGHT, has_P=True)
+    A, b, c, P = prob.A, prob.b, prob.c, prob.P
+    rng = np.random.RandomState(2)
+    dP_ = rng.randn(4, 4)
+    dP = jnp.asarray(0.5 * (dP_ + dP_.T))      # symmetric direction
+    f = jax.jit(functools.partial(solve, mode="jvp"))
+    (x0, _, _), (dx, _, _) = jax.jvp(
+        lambda PP: f(A, b, c, PP), (P,), (dP,))
+    eps = 1e-6
+    xp = solve(A, b, c, P + eps * dP)[0]
+    xm = solve(A, b, c, P - eps * dP)[0]
+    fd = (np.asarray(xp) - np.asarray(xm)) / (2 * eps)
+    np.testing.assert_allclose(np.asarray(dx), fd, atol=5e-5, rtol=5e-4)

@@ -219,3 +219,18 @@ def test_certificate_catches_hidden_eigenvalues():
         P_exact = (V * np.maximum(w, 0)) @ V.T
         err = float(jnp.abs(proj - P_exact).max())
         assert (not bool(ok)) or err < 1e-6, (trial, theta, err)
+
+
+def test_larger_sdp_tracked_rank():
+    """ns=48 block (above the refined-eigh threshold on TPU): the tracked
+    path stays equivalent to exact at a more realistic block size."""
+    prob, spec, opt = _planted_lowrank_sdp(ns=48, r=4, n=14, seed=7)
+    stg0 = Settings(eps_abs=1e-6, eps_rel=1e-6)
+    sol0, info0 = scs_tpu.solve(prob, spec, settings=stg0)
+    assert info0.status_val == config.SOLVED
+    stg1 = Settings(eps_abs=1e-6, eps_rel=1e-6, psd_rank=8)
+    sol1, info1 = scs_tpu.solve(prob, spec, settings=stg1)
+    assert info1.status_val == config.SOLVED, info1.status
+    assert abs(info1.pobj - opt) < 1e-4 * (1 + abs(opt))
+    np.testing.assert_allclose(np.asarray(sol1.x), np.asarray(sol0.x),
+                               atol=1e-3, rtol=1e-3)
