@@ -282,3 +282,31 @@ def test_profile_spectral_timing():
     assert "mat_cone_ms" not in w2.profile(n_calls=2)
     _, info2 = w2.solve()
     assert math.isnan(info2.ave_time_matrix_cone_proj)
+
+
+def test_problem_from_csc():
+    """Public CSC-input constructor: symmetrizes upper-tri P and matches
+    a dense-input solve (the reference's data format contract)."""
+    import scipy.sparse as sp
+    rng = np.random.RandomState(5)
+    A = sp.random(8, 4, density=0.6, random_state=rng,
+                  data_rvs=rng.randn).tocsc()
+    F = rng.randn(4, 4)
+    P_full = F @ F.T + np.eye(4)
+    b = rng.randn(8) + 2.0
+    c = rng.randn(4)
+    prob = scs_tpu.problem_from_csc(A, b, c,
+                                    sp.triu(sp.csc_matrix(P_full)).tocsc())
+    np.testing.assert_allclose(np.asarray(prob.P), P_full, atol=1e-14)
+    np.testing.assert_allclose(np.asarray(prob.A), A.toarray(), atol=1e-14)
+    spec = ConeSpec(l=8)
+    sol, info = scs_tpu.solve(prob, spec,
+                              settings=Settings(eps_abs=1e-8, eps_rel=1e-8))
+    prob_d = scs_tpu.Problem(A=jnp.asarray(A.toarray()), b=jnp.asarray(b),
+                     c=jnp.asarray(c), P=jnp.asarray(P_full))
+    sol_d, info_d = scs_tpu.solve(prob_d, spec,
+                                  settings=Settings(eps_abs=1e-8,
+                                                    eps_rel=1e-8))
+    assert info.status_val == config.SOLVED
+    np.testing.assert_allclose(np.asarray(sol.x), np.asarray(sol_d.x),
+                               atol=1e-7)
