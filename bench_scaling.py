@@ -57,7 +57,7 @@ def measure_mesh(ndev: int, spec, stg) -> dict:
     import jax
     import jax.numpy as jnp
 
-    from scs_tpu.parallel.batch import make_pure_solver, _vmap_six
+    from scs_tpu.parallel.batch import make_batched_solve_fn
 
     devices = jax.devices()[:ndev]
     mesh = jax.sharding.Mesh(np.asarray(devices), ("batch",))
@@ -68,7 +68,7 @@ def measure_mesh(ndev: int, spec, stg) -> dict:
     arrays = _problem_batch(spec, B, seed0=7000)
     arrays = tuple(jax.device_put(a, sharding) for a in arrays)
 
-    solve_fn = jax.jit(_vmap_six(make_pure_solver(spec, stg), has_P=False))
+    solve_fn = jax.jit(make_batched_solve_fn(spec, stg, has_P=False))
 
     def run():
         res = solve_fn(*arrays)

@@ -327,7 +327,7 @@ class Workspace:
             res=Residuals.zeros(dtype),
             sum_log_scale_factor=zf, n_log_scale_factor=zf,
             last_scale_update_iter=zi, scale_updates=zi,
-            status=zi, iter=zi,
+            status=zi, iter=zi, cadence=zi,
             aa=accel.aa_init(l, mem, dtype),
             aa_norm=zf, accepted_accel=zi, rejected_accel=zi,
             tot_cg_its=zi)

@@ -29,8 +29,8 @@ from ..equilibrate import (equilibrate, identity_scaling, normalize_b_c,
 from ..cones.box import scale_box_bounds
 from ..linsys import (Mats, get_backend, prepare_operands,
                       resolve_mixed)
-from ..solver import (LoopState, ProblemData, Residuals, make_loop,
-                      populate_residuals, set_diag_r)
+from ..solver import (LoopState, ProblemData, Residuals, make_batched_loop,
+                      make_loop, populate_residuals, set_diag_r)
 from ..types import ConeData, ConeSpec, Settings
 
 
@@ -119,6 +119,7 @@ def make_solver_parts(spec: ConeSpec, stg: Settings):
             box_t_warm=jnp.ones((), dtype), res=Residuals.zeros(dtype),
             sum_log_scale_factor=zf, n_log_scale_factor=zf,
             last_scale_update_iter=zi, scale_updates=zi, status=zi, iter=zi,
+            cadence=zi,
             aa=aa_init(l, max(stg.acceleration_lookback, 1), dtype),
             aa_norm=zf, accepted_accel=zi, rejected_accel=zi, tot_cg_its=zi)
         return data, st
@@ -220,7 +221,10 @@ def make_repair_fn(spec: ConeSpec, stg: Settings):
                       & ((data.eps_infeas < floor) | has_psd))
         needs = solved_tight | cert_tight
         status = jnp.where(needs, jnp.zeros((), jnp.int32), st.status)
-        return dataclasses.replace(st, derived=derived, g=g, status=status)
+        # the polish phase restarts the batched runner's lockstep counter
+        # (all lanes resume at phase-local step 0; see LoopState.cadence)
+        return dataclasses.replace(st, derived=derived, g=g, status=status,
+                                    cadence=jnp.zeros((), jnp.int32))
 
     return repair
 
@@ -262,63 +266,116 @@ def _vmap_six(fn, has_P: bool):
                     in_axes=(0, 0, 0, 0, 0))
 
 
+def make_batched_solve_fn(spec: ConeSpec, stg: Settings,
+                          max_iters: Optional[int] = None,
+                          has_P: bool = False):
+    """The un-jitted batched solve function (one device dispatch).
+
+    Built on solver.make_batched_loop — an un-vmapped while_loop over the
+    batched state driven by one scalar counter, so the AA / residual-check
+    cadence executes at its true rate (a jit(vmap(per-problem-loop))
+    formulation pays BOTH branches of every per-lane lax.cond every
+    iteration; docs/PERFORMANCE.md). Use for custom jit/sharding wrapping;
+    most callers want make_batch_solver (jitted) or
+    make_chunked_batch_solver (adds straggler compaction).
+    """
+    init_fn, _, final_fn = make_solver_parts(spec, stg)
+    init_b = _vmap_six(init_fn, has_P)
+    final_b = jax.vmap(final_fn)
+    loop_b = make_batched_loop(spec, stg)
+    cap = stg.max_iters if max_iters is None else max_iters
+    mixed = resolve_mixed(stg)
+    if mixed:
+        stg2 = dataclasses.replace(stg, mixed_precision=False)
+        loop2_b = make_batched_loop(spec, stg2)
+        repair_b = jax.vmap(make_repair_fn(spec, stg2))
+
+    def solve_fn(*arrays) -> SolveResult:
+        data, st = init_b(*arrays)
+        cap_a = jnp.asarray(cap, jnp.int32)
+        run_all = jnp.asarray(0, jnp.int32)          # stop_alive = 0
+        no_budget = jnp.asarray(2**30, jnp.int32)
+        if mixed:
+            st = loop_b(_floored_data(data, arrays[0].dtype), st, cap_a,
+                        run_all, no_budget)
+            st = repair_b(data, st)
+            st = loop2_b(data, st, cap_a, run_all, no_budget)
+        else:
+            st = loop_b(data, st, cap_a, run_all, no_budget)
+        return final_b(data, st)
+
+    return solve_fn
+
+
 @functools.lru_cache(maxsize=32)
 def make_batch_solver(spec: ConeSpec, stg: Settings,
                       max_iters: Optional[int] = None, has_P: bool = False):
-    """jit(vmap(solve)) over a leading batch axis, single dispatch.
+    """Batched solve over a leading batch axis, single dispatch.
 
     Returns fn(A (B,m,n), [P (B,n,n)], b (B,m), c (B,n), bu (B,k), bl (B,k))
-    -> SolveResult with leading batch dims. vmapped while_loops run until
-    every batch element terminates; converged elements keep a frozen status.
+    -> SolveResult with leading batch dims. The batched loop runs until
+    every batch element terminates; converged elements freeze.
     """
-    return jax.jit(_vmap_six(make_pure_solver(spec, stg, max_iters), has_P))
+    return jax.jit(make_batched_solve_fn(spec, stg, max_iters, has_P))
 
 
 @functools.lru_cache(maxsize=32)
 def make_chunked_batch_solver(spec: ConeSpec, stg: Settings,
                               has_P: bool = False):
-    """Batch solver with host-side chunked dispatch.
+    """Batch solver with level-based dispatch + straggler compaction.
 
-    Bounds each device program to `stg.chunk_iters` ADMM iterations —
-    long solves become several short executions (plays well with execution
-    watchdogs and lets the host enforce time limits), while the convergence
-    cadence stays on-device.
+    Each device dispatch runs the batched loop until the running set has
+    halved (or `8 * chunk_iters` steps elapsed, bounding single-program
+    runtime), then the host gathers the survivors into a power-of-two
+    bucket and continues on the smaller batch. Host<->device round trips
+    per phase are therefore O(log(B / min_bucket)) — one dispatch plus one
+    small alive-mask read per compaction level — which matters over
+    high-latency links (remote-TPU tunnels): the previous per-chunk design
+    paid ~3 blocking transfers every `chunk_iters` iterations.
 
     Returns solve(A, [P], b, c, bu, bl, max_iters=None) -> SolveResult.
     """
-    init_fn, chunk_fn, final_fn = make_solver_parts(spec, stg)
+    init_fn, _, final_fn = make_solver_parts(spec, stg)
     init_b = jax.jit(_vmap_six(init_fn, has_P))
-    chunk_b = jax.jit(jax.vmap(chunk_fn, in_axes=(0, 0, None)))
     final_b = jax.jit(jax.vmap(final_fn))
+    loop_b = make_batched_loop(spec, stg)
+
+    def _level(data, st, iter_cap, stop_alive, k_budget, valid):
+        st = loop_b(data, st, iter_cap, stop_alive, k_budget, valid)
+        alive = (st.status == config.UNFINISHED) & (st.iter < iter_cap)
+        return st, alive & valid
+
+    level_b = jax.jit(_level)
     mixed = resolve_mixed(stg)
     floor = config.MIXED_FAST_FLOOR
+    polish = {}          # lazily-built f64 phase kernels, one per solver
     import numpy as np
 
-    def run_phase(chunk_kernel, data, st, cap_total):
-        """Chunked dispatch with straggler compaction.
+    def run_phase(level_kernel, data, st, cap_total):
+        """Level-based dispatch with straggler compaction.
 
-        vmapped while_loops run every lane until the slowest terminates,
-        so a few long solves would keep the whole batch stepping. Once
-        the running set shrinks, gather it into a power-of-two bucket
-        (floored at B/8 to bound recompiles to <= 4 bucket shapes) and
-        continue on the smaller batch, scattering results back.
-
-        The work set is re-gathered ONLY when the bucket shrinks (<= 3
-        times per phase), not every chunk round: gathering the full data
-        pytree (A, ds splits, Gram caches) per round costs more HBM
-        traffic than the straggler compute it saves (round-1 verdict).
-        Per round the host pulls just the (bucket,) status/iter vectors
-        it needs for loop control.
+        The batched loop runs every lane until the slowest terminates, so
+        a few long solves would keep the whole batch stepping. Each level
+        dispatch stops once the running set has at most halved; the host
+        then gathers survivors into a power-of-two bucket (floored at B/8
+        to bound recompiles to <= 4 bucket shapes) and continues on the
+        smaller batch, scattering results back. The full data pytree (A,
+        ds splits, Gram caches) is re-gathered only when the bucket
+        shrinks; per level the host reads ONE (bucket,) alive mask.
         """
-        chunk = max(stg.chunk_iters, 25)
-        B = int(np.asarray(st.status).shape[0])
+        budget = 8 * max(stg.chunk_iters, 25)
+        B = st.status.shape[0]
         min_bucket = max(B // 8, 1)
         # act: full-batch indices of the current work set; data_c/st_c are
         # gathered work arrays padded to `bucket` rows (padding duplicates
-        # act[0]; only the first act.size rows are scattered back)
+        # act[0], masked out of the alive count via `valid`; only the
+        # first act.size rows are scattered back)
         act = np.arange(B)
         bucket = B
         data_c, st_c = data, st
+        valid = jnp.ones((B,), bool)
+        cap_a = jnp.asarray(cap_total, jnp.int32)
+        budget_a = jnp.asarray(budget, jnp.int32)
 
         def scatter_back(st_full, st_work, idx):
             put = jnp.asarray(idx)
@@ -327,10 +384,11 @@ def make_chunked_batch_solver(spec: ConeSpec, stg: Settings,
                 st_full, st_work)
 
         while True:
-            status, iters = map(np.asarray, (st_c.status, st_c.iter))
-            run_mask = ((status[:act.size] == config.UNFINISHED)
-                        & (iters[:act.size] < cap_total))
-            sub = np.nonzero(run_mask)[0]
+            stop = bucket // 2 if bucket > min_bucket else 0
+            st_c, alive = level_kernel(data_c, st_c, cap_a,
+                                       jnp.asarray(stop, jnp.int32),
+                                       budget_a, valid)
+            sub = np.nonzero(np.asarray(alive)[:act.size])[0]
             if sub.size == 0:
                 if bucket < B:
                     st = scatter_back(st, st_c, act)
@@ -349,21 +407,17 @@ def make_chunked_batch_solver(spec: ConeSpec, stg: Settings,
                 take = jnp.asarray(pad)
                 data_c = jax.tree.map(lambda a: a[take], data)
                 st_c = jax.tree.map(lambda a: a[take], st)
-                sub = np.arange(act.size)
-            max_iter_running = int(np.asarray(st_c.iter)[sub].max())
-            done_at = jnp.asarray(min(max_iter_running + chunk, cap_total),
-                                  jnp.int32)
-            st_c = chunk_kernel(data_c, st_c, done_at)
+                valid = jnp.asarray(np.arange(bucket) < act.size)
 
     def solve(*arrays, max_iters: Optional[int] = None) -> SolveResult:
         cap_total = stg.max_iters if max_iters is None else max_iters
         data, st = init_b(*arrays)
         if not mixed:
-            st = run_phase(chunk_b, data, st, cap_total)
+            st = run_phase(level_b, data, st, cap_total)
             return final_b(data, st)
 
         # fast phase at floored targets
-        st = run_phase(chunk_b, _floored_data(data, arrays[0].dtype), st,
+        st = run_phase(level_b, _floored_data(data, arrays[0].dtype), st,
                        cap_total)
         # lazy polish phase: compile the f64 program only if some lane's
         # true targets lie below the fast floor AND its status needs it
@@ -376,12 +430,23 @@ def make_chunked_batch_solver(spec: ConeSpec, stg: Settings,
         cert_tight = (np.isin(status, (config.INFEASIBLE, config.UNBOUNDED))
                       & ((stg.eps_infeas < floor) | has_psd))
         if (solved_tight | cert_tight).any():
-            stg2 = dataclasses.replace(stg, mixed_precision=False)
-            _, chunk2_fn, _ = make_solver_parts(spec, stg2)
-            repair_b = jax.jit(jax.vmap(make_repair_fn(spec, stg2)))
-            chunk2_b = jax.jit(jax.vmap(chunk2_fn, in_axes=(0, 0, None)))
-            st = repair_b(data, st)
-            st = run_phase(chunk2_b, data, st, cap_total)
+            if not polish:
+                stg2 = dataclasses.replace(stg, mixed_precision=False)
+                loop2_b = make_batched_loop(spec, stg2)
+
+                def _level2(data, st, iter_cap, stop_alive, k_budget,
+                            valid):
+                    st = loop2_b(data, st, iter_cap, stop_alive, k_budget,
+                                 valid)
+                    alive = ((st.status == config.UNFINISHED)
+                             & (st.iter < iter_cap))
+                    return st, alive & valid
+
+                polish["level"] = jax.jit(_level2)
+                polish["repair"] = jax.jit(
+                    jax.vmap(make_repair_fn(spec, stg2)))
+            st = polish["repair"](data, st)
+            st = run_phase(polish["level"], data, st, cap_total)
         return final_b(data, st)
 
     return solve

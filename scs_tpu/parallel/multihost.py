@@ -87,9 +87,9 @@ def make_sharded_batch_solver(spec, stg, mesh: jax.sharding.Mesh,
     arrays are replicated/gathered so every process can read the full
     batch (host-side certificate checks, result IO).
     """
-    from .batch import make_pure_solver, _vmap_six
+    from .batch import make_batched_solve_fn
 
-    solve_fn = _vmap_six(make_pure_solver(spec, stg, max_iters), has_P)
+    solve_fn = make_batched_solve_fn(spec, stg, max_iters, has_P)
     sharding = jax.sharding.NamedSharding(
         mesh, jax.sharding.PartitionSpec(axis_name))
     replicated = jax.sharding.NamedSharding(

@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import Any, Optional
+from typing import Any, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -129,6 +129,12 @@ class LoopState:
     scale_updates: jax.Array
     status: jax.Array            # int32 exit flag (0 = running)
     iter: jax.Array              # int32
+    # phase-local step counter: equal across all still-running lanes of a
+    # batch (all active lanes step in lockstep within a phase), so the
+    # batched runner (make_batched_loop) can drive the AA / residual-check
+    # cadence from ONE scalar instead of per-lane predicates. Reset to 0 at
+    # the fast->polish phase transition; equals `iter` in a fresh solve.
+    cadence: jax.Array           # int32
     aa: accel.AAState
     aa_norm: jax.Array
     accepted_accel: jax.Array
@@ -321,8 +327,38 @@ def has_converged(r: Residuals, data: ProblemData, stg: Settings):
                             config.UNFINISHED))).astype(jnp.int32)
 
 
+class StepBlocks(NamedTuple):
+    """The ADMM iteration split into composable pieces (see make_steps):
+    aa(st) -> st          Anderson-acceleration apply (caller owns cadence)
+    guard(st) -> st       AA safeguard (self-gated per lane on aa_norm > 0)
+    core(data, st, with_check, force_check=False) -> st   everything else
+    """
+
+    aa: Any
+    guard: Any
+    core: Any
+
+
+def _mask_lanes(new_st, old_st, active):
+    """Per-lane freeze: keep old_st rows where `active` is False.
+
+    This is exactly the select a vmapped while_loop inserts for lanes whose
+    condition went false — done explicitly because make_batched_loop's outer
+    while_loop is NOT vmapped (its carry is the batched state)."""
+    def sel(n, o):
+        act = active.reshape(active.shape + (1,) * (n.ndim - active.ndim))
+        return jnp.where(act, n, o)
+
+    return jax.tree.map(sel, new_st, old_st)
+
+
 def make_steps(spec: ConeSpec, stg: Settings):
     """Build (plain_step, check_step, update_work_cache) iteration bodies."""
+    return _build_iteration(spec, stg)[:3]
+
+
+def _build_iteration(spec: ConeSpec, stg: Settings):
+    """Internal: (plain_step, check_step, update_work_cache, StepBlocks)."""
     backend = get_backend(stg.linsys)
     mixed = resolve_mixed(stg)
     use_aa = stg.acceleration_lookback > 0
@@ -436,45 +472,53 @@ def make_steps(spec: ConeSpec, stg: Settings):
     def _aa_reset(a):
         return accel._reset(a)
 
-    def step(data: ProblemData, st: LoopState,
-             with_check: bool = True) -> LoopState:
-        """One ADMM iteration.
+    # ---- composable iteration blocks --------------------------------
+    # The iteration splits into [AA apply] -> core -> [AA safeguard].
+    # Legacy per-problem steps compose them with per-lane lax.cond
+    # predicates; the batched runner (make_batched_loop) drives the
+    # cadence from a SCALAR counter instead, so each block executes only
+    # when actually due.
+
+    def aa_block(st: LoopState) -> LoopState:
+        """Anderson acceleration apply — step 1 of the iteration (before
+        the DR step so the final operation of every iteration is a cone
+        projection; scs.c:1357-1366). Caller owns the cadence."""
+        a, v, aa_norm = accel.aa_apply(
+            st.aa, st.v, st.v_prev, mem=mem,
+            type1=stg.acceleration_type_1,
+            regularization=stg.acceleration_regularization,
+            relaxation=stg.acceleration_relaxation,
+            gamma_f32=mixed)
+        return dataclasses.replace(st, aa=a, v=v, aa_norm=aa_norm)
+
+    def guard_block(st: LoopState) -> LoopState:
+        """AA safeguard (scs.c "aa_safeguard" call; aa.c:856-901), gated
+        per-lane on (AA accepted this iteration) & (still running)."""
+        def do_guard(st: LoopState) -> LoopState:
+            a, f_out, x_out, rejected = accel.aa_safeguard(
+                st.aa, st.v, st.v_prev)
+            return dataclasses.replace(
+                st, aa=a, v=f_out, v_prev=x_out,
+                rejected_accel=st.rejected_accel
+                + rejected.astype(jnp.int32),
+                accepted_accel=st.accepted_accel
+                + (~rejected).astype(jnp.int32))
+
+        gate = (st.aa_norm > 0) & (st.status == config.UNFINISHED)
+        return jax.lax.cond(gate, do_guard, lambda s: s, st)
+
+    def core(data: ProblemData, st: LoopState, with_check: bool,
+             force_check: bool = False) -> LoopState:
+        """Steps 2-9 of the iteration (everything but AA apply/guard).
 
         with_check=False omits the residual/convergence/scale sections
-        entirely (they only act at iter %% CONVERGED_INTERVAL == 0): under
-        vmap, lax.cond executes BOTH branches, so a batched while_loop over
-        the full step would pay residual matvecs + a full refactor every
-        iteration. The runners instead alternate one checked step with
-        (CONVERGED_INTERVAL - 1) plain steps — the cadence lives in the
-        loop structure, not in a per-lane predicate.
+        entirely; force_check=True runs them unconditionally (the caller
+        guarantees the CONVERGED_INTERVAL cadence); otherwise they gate
+        on iter % CONVERGED_INTERVAL == 0 via lax.cond (fine per-problem;
+        under vmap both branches execute — use the batched loop there).
         """
-        m, n = data.A.shape
-        l = n + m + 1
         i = st.iter
-        dtype = st.v.dtype
         v = st.v
-        aa_state = st.aa
-        aa_norm = jnp.zeros((), dtype)
-
-        # 1. Anderson acceleration (before the DR step so the final operation
-        #    of every iteration is a cone projection; scs.c:1357-1366)
-        if use_aa:
-            apply_now = (i > 0) & (i % stg.acceleration_interval == 0)
-
-            def do_apply(args):
-                a, f, x = args
-                return accel.aa_apply(
-                    a, f, x, mem=mem, type1=stg.acceleration_type_1,
-                    regularization=stg.acceleration_regularization,
-                    relaxation=stg.acceleration_relaxation,
-                    gamma_f32=mixed)
-
-            def no_apply(args):
-                a, f, _ = args
-                return a, f, jnp.zeros((), dtype)
-
-            aa_state, v, aa_norm = jax.lax.cond(
-                apply_now, do_apply, no_apply, (aa_state, v, st.v_prev))
 
         # 2. normalize v to L2 norm sqrt(l) (homogeneity; scs.c:813-821)
         v_norm = jnp.linalg.norm(v)
@@ -484,7 +528,7 @@ def make_steps(spec: ConeSpec, stg: Settings):
         # 3. snapshot for the AA safeguard
         v_prev = v
 
-        st = dataclasses.replace(st, v=v, v_prev=v_prev, aa=aa_state)
+        st = dataclasses.replace(st, v=v, v_prev=v_prev)
 
         # 4. linear system projection
         u_t, cg_its = project_lin_sys(data, st, i)
@@ -500,41 +544,37 @@ def make_steps(spec: ConeSpec, stg: Settings):
             tot_cg_its=st.tot_cg_its + cg_its)
 
         if with_check:
-            # 7. residuals + convergence check every CONVERGED_INTERVAL iters
-            check = (i % config.CONVERGED_INTERVAL) == 0
-
+            # 7. residuals + convergence check every CONVERGED_INTERVAL
             def fresh_res(_):
                 r = populate_residuals(data, spec, u, rsk, i)
                 return r, has_converged(r, data, stg)
 
-            def stale_res(_):
-                return st.res, jnp.zeros((), jnp.int32)
+            if force_check:
+                res, status = fresh_res(None)
+            else:
+                check = (i % config.CONVERGED_INTERVAL) == 0
 
-            res, status = jax.lax.cond(check, fresh_res, stale_res, None)
+                def stale_res(_):
+                    return st.res, jnp.zeros((), jnp.int32)
+
+                res, status = jax.lax.cond(check, fresh_res, stale_res,
+                                           None)
             st = dataclasses.replace(st, res=res, status=status)
 
-        # 8-10. scale update, dual update, safeguard — skipped on termination
+        # 8-9. scale update, dual update — skipped on termination
         def proceed(st: LoopState) -> LoopState:
             if with_check and stg.adaptive_scale:
-                st = jax.lax.cond(check, lambda s: update_scale(data, s, i),
-                                  lambda s: s, st)
+                if force_check:
+                    st = update_scale(data, st, i)
+                else:
+                    st = jax.lax.cond(
+                        check, lambda s: update_scale(data, s, i),
+                        lambda s: s, st)
             # dual update: v += alpha (u - u_t) (scs.c:788-793)
             v_new = st.v + data.alpha * (st.u - st.u_t)
             st = dataclasses.replace(st, v=v_new)
-            if use_aa:
-                def do_guard(st: LoopState) -> LoopState:
-                    a, f_out, x_out, rejected = accel.aa_safeguard(
-                        st.aa, st.v, st.v_prev)
-                    return dataclasses.replace(
-                        st, aa=a, v=f_out, v_prev=x_out,
-                        rejected_accel=st.rejected_accel
-                        + rejected.astype(jnp.int32),
-                        accepted_accel=st.accepted_accel
-                        + (~rejected).astype(jnp.int32))
-
-                guard_now = (i % stg.acceleration_interval == 0) & (aa_norm > 0)
-                st = jax.lax.cond(guard_now, do_guard, lambda s: s, st)
-            return dataclasses.replace(st, iter=i + 1)
+            return dataclasses.replace(st, iter=i + 1,
+                                       cadence=st.cadence + 1)
 
         def halt(st: LoopState) -> LoopState:
             return st
@@ -546,11 +586,28 @@ def make_steps(spec: ConeSpec, stg: Settings):
             # status cannot change in a plain step; the driving loop's
             # condition (status == UNFINISHED) already gates entry
             st = proceed(st)
-        return dataclasses.replace(st, aa_norm=aa_norm)
+        return st
+
+    def step(data: ProblemData, st: LoopState,
+             with_check: bool = True) -> LoopState:
+        """One ADMM iteration with per-lane cadence predicates (the
+        per-problem composition; batched runs use make_batched_loop)."""
+        i = st.iter
+        dtype = st.v.dtype
+        st = dataclasses.replace(st, aa_norm=jnp.zeros((), dtype))
+        if use_aa:
+            apply_now = (i > 0) & (i % stg.acceleration_interval == 0)
+            st = jax.lax.cond(apply_now, aa_block, lambda s: s, st)
+        st = core(data, st, with_check)
+        if use_aa:
+            # guard_block re-checks (aa_norm > 0) & running per lane
+            st = guard_block(st)
+        return st
 
     plain_step = functools.partial(step, with_check=False)
     check_step = functools.partial(step, with_check=True)
-    return plain_step, check_step, update_work_cache
+    blocks = StepBlocks(aa=aa_block, guard=guard_block, core=core)
+    return plain_step, check_step, update_work_cache, blocks
 
 
 def make_step(spec: ConeSpec, stg: Settings):
@@ -595,6 +652,92 @@ def make_runner(spec: ConeSpec, stg: Settings):
     """Build the jitted chunked runner: run until status != 0, iter cap, or
     chunk boundary (host checks time limit / prints between chunks)."""
     return jax.jit(make_loop(spec, stg))
+
+
+def make_batched_loop(spec: ConeSpec, stg: Settings):
+    """Build loop(data_b, st_b, iter_cap, stop_alive, k_budget, valid) — the
+    batched ADMM driver.
+
+    Architecture (TPU-specific; no reference analog): the while_loop is NOT
+    vmapped — its carry is the *batched* state plus one SCALAR phase counter
+    k (every still-running lane of a phase has stepped the same number of
+    times, so k == cadence of all active lanes). Cadence predicates — AA
+    apply every `acceleration_interval`, residual check + adaptive scale
+    every CONVERGED_INTERVAL — are therefore scalar, and lax.cond executes
+    ONLY the due branch. Under the legacy jit(vmap(loop)) formulation those
+    predicates are per-lane, every cond lowers to a select that computes
+    BOTH branches, and Anderson acceleration's QR runs every iteration
+    instead of every 10th.
+
+    Per-lane freezing (terminated / at-cap lanes stop changing) is an
+    explicit select (_mask_lanes) — the same select the vmapped while_loop
+    would insert, at the same cost.
+
+    Args (all traced, so one compile per batch shape):
+      iter_cap:   per-lane iteration cap (max_iters)
+      stop_alive: return once the number of running lanes is <= this
+                  (straggler compaction hook; 0 = run to completion)
+      k_budget:   max loop steps this call (bounds device-program runtime)
+      valid:      optional (B,) bool — False rows are compaction padding
+                  and excluded from the alive count
+
+    Returns the updated batched state.
+    """
+    _, _, _, blocks = _build_iteration(spec, stg)
+    use_aa = stg.acceleration_lookback > 0
+    interval = max(stg.acceleration_interval, 1)
+
+    aa_b = jax.vmap(blocks.aa)
+    guard_b = jax.vmap(blocks.guard)
+    core_plain_b = jax.vmap(
+        lambda d, s: blocks.core(d, s, with_check=False), in_axes=(0, 0))
+    core_check_b = jax.vmap(
+        lambda d, s: blocks.core(d, s, with_check=True, force_check=True),
+        in_axes=(0, 0))
+
+    def loop(data: ProblemData, st: LoopState, iter_cap, stop_alive,
+             k_budget, valid=None) -> LoopState:
+        iter_cap = jnp.asarray(iter_cap, jnp.int32)
+
+        def alive_of(st: LoopState):
+            a = (st.status == config.UNFINISHED) & (st.iter < iter_cap)
+            if valid is not None:
+                a = a & valid
+            return a
+
+        k0 = jnp.max(jnp.where(alive_of(st), st.cadence, 0), initial=0)
+
+        def cond_fn(carry):
+            k, st = carry
+            alive = alive_of(st)
+            return (jnp.sum(alive) > stop_alive) & (k - k0 < k_budget)
+
+        def body_fn(carry):
+            k, st = carry
+            active = alive_of(st)
+            check_due = (k % config.CONVERGED_INTERVAL) == 0
+
+            def run_core(st: LoopState) -> LoopState:
+                return jax.lax.cond(
+                    check_due,
+                    lambda s: core_check_b(data, s),
+                    lambda s: core_plain_b(data, s), st)
+
+            if use_aa:
+                aa_due = (k > 0) & (k % interval == 0)
+
+                def with_aa(st: LoopState) -> LoopState:
+                    return guard_b(run_core(aa_b(st)))
+
+                st_new = jax.lax.cond(aa_due, with_aa, run_core, st)
+            else:
+                st_new = run_core(st)
+            return k + 1, _mask_lanes(st_new, st, active)
+
+        _, st = jax.lax.while_loop(cond_fn, body_fn, (k0, st))
+        return st
+
+    return loop
 
 
 # ---------------------------------------------------------------------------
