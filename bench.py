@@ -209,7 +209,8 @@ def run_bench(baseline):
         # ~100 ms tunnel dispatch latency (see roofline.measure docstring)
         roof = roofline.measure(n=4096, iters=400, reps=3)
         log(f"roofline: ds {roof['ds_gbps'] and round(roof['ds_gbps'])} GB/s"
-            f" / peak {roof['peak_gbps']} GB/s"
+            f" / measured roof {roof['read_peak_gbps'] and round(roof['read_peak_gbps'])} GB/s"
+            f" (spec {roof['peak_gbps']})"
             f" -> frac {roof['frac'] and round(roof['frac'], 3)}")
     except Exception as e:  # noqa: BLE001
         log(f"roofline probe failed: {e!r}")
@@ -232,15 +233,17 @@ def run_bench(baseline):
         out["b1024_best"] = round(max(ips1024), 1)
         out["b1024_median"] = round(float(np.median(ips1024)), 1)
     if roof and roof.get("frac"):
+        # roofline-model convention: ceiling = MEASURED attainable
+        # streaming bandwidth (pure-read Pallas probe, the STREAM analog
+        # of Williams et al. 2009); spec-sheet fraction alongside
         out["roofline_frac"] = round(roof["frac"], 3)
         out["roofline_ds_gbps"] = round(roof["ds_gbps"], 1)
-        if roof.get("frac_achievable"):
-            # vs the chip's measured streaming-read wall (pure-read pallas
-            # kernel; the spec peak is unattainable — ops/roofline.py)
-            out["roofline_frac_achievable"] = round(
-                roof["frac_achievable"], 3)
+        if roof.get("read_peak_gbps"):
             out["roofline_read_peak_gbps"] = round(
                 roof["read_peak_gbps"], 1)
+        if roof.get("frac_spec"):
+            out["roofline_frac_spec"] = round(roof["frac_spec"], 3)
+            out["roofline_spec_peak_gbps"] = roof["peak_gbps"]
     print(json.dumps(out))
 
 
