@@ -339,67 +339,108 @@ def make_chunked_batch_solver(spec: ConeSpec, stg: Settings,
     init_b = jax.jit(_vmap_six(init_fn, has_P))
     final_b = jax.jit(jax.vmap(final_fn))
     loop_b = make_batched_loop(spec, stg)
-
-    def _level(data, st, iter_cap, stop_alive, k_budget, valid):
-        st = loop_b(data, st, iter_cap, stop_alive, k_budget, valid)
-        alive = (st.status == config.UNFINISHED) & (st.iter < iter_cap)
-        return st, alive & valid
-
-    level_b = jax.jit(_level)
     mixed = resolve_mixed(stg)
     floor = config.MIXED_FAST_FLOOR
+    has_psd = bool(spec.s or spec.cs or spec.d or spec.nuc_m or spec.sl_n)
+    # static possibility flags for the f64 polish phase: a lane needs
+    # polishing only if its true targets lie below the fast floor (or PSD
+    # cones broke exact complementarity in the f32 fast phase)
+    solved_tight_possible = ((stg.eps_abs < floor) or (stg.eps_rel < floor)
+                             or has_psd)
+    cert_tight_possible = (stg.eps_infeas < floor) or has_psd
+
+    def _level(data, st, iter_cap, stop_alive, k_budget, valid):
+        """One level dispatch. Returns (st, alive-mask, needs-polish-mask)
+        so the host learns both from a single device pull."""
+        st = loop_b(data, st, iter_cap, stop_alive, k_budget, valid)
+        alive = (st.status == config.UNFINISHED) & (st.iter < iter_cap)
+        needs = jnp.zeros_like(alive)
+        if mixed and solved_tight_possible:
+            needs = needs | (st.status == config.SOLVED)
+        if mixed and cert_tight_possible:
+            needs = needs | (st.status == config.INFEASIBLE) \
+                | (st.status == config.UNBOUNDED)
+        return st, alive & valid, needs & valid
+
+    level_b = jax.jit(_level)
     polish = {}          # lazily-built f64 phase kernels, one per solver
+    import os
+    import time as _time
+
     import numpy as np
+
+    _debug = bool(os.environ.get("SCS_TPU_LEVEL_DEBUG"))
 
     def run_phase(level_kernel, data, st, cap_total):
         """Level-based dispatch with straggler compaction.
 
         The batched loop runs every lane until the slowest terminates, so
-        a few long solves would keep the whole batch stepping. Each level
-        dispatch stops once the running set has at most halved; the host
-        then gathers survivors into a power-of-two bucket (floored at B/8
-        to bound recompiles to <= 4 bucket shapes) and continues on the
-        smaller batch, scattering results back. The full data pytree (A,
-        ds splits, Gram caches) is re-gathered only when the bucket
-        shrinks; per level the host reads ONE (bucket,) alive mask.
+        a few long solves would keep the whole batch stepping. The full
+        batch runs as ONE dispatch until the running set fits the smallest
+        bucket (B/8), the host gathers the survivors into that bucket and
+        runs it to completion — one compaction, ~2 dispatches, and one
+        small (alive, needs) pull per dispatch. (Round 3 measurement:
+        intermediate halving levels saved a little frozen-lane compute but
+        paid for it several times over in gather/scatter traffic — the
+        data pytree re-gather moves hundreds of MB — and blocking round
+        trips over the remote-TPU tunnel.) Rows leaving the work set are
+        scattered back once, when they leave.
+
+        Returns (st, needs_polish_any).
         """
         budget = 8 * max(stg.chunk_iters, 25)
         B = st.status.shape[0]
         min_bucket = max(B // 8, 1)
         # act: full-batch indices of the current work set; data_c/st_c are
         # gathered work arrays padded to `bucket` rows (padding duplicates
-        # act[0], masked out of the alive count via `valid`; only the
-        # first act.size rows are scattered back)
+        # act[0], masked out of the alive count via `valid`)
         act = np.arange(B)
         bucket = B
         data_c, st_c = data, st
         valid = jnp.ones((B,), bool)
         cap_a = jnp.asarray(cap_total, jnp.int32)
         budget_a = jnp.asarray(budget, jnp.int32)
+        needs_any = False
 
-        def scatter_back(st_full, st_work, idx):
-            put = jnp.asarray(idx)
+        def scatter_rows(st_full, st_work, rows, full_idx):
+            take = jnp.asarray(rows)
+            put = jnp.asarray(full_idx)
             return jax.tree.map(
-                lambda full, sub: full.at[put].set(sub[:idx.size]),
+                lambda full, sub: full.at[put].set(sub[take]),
                 st_full, st_work)
 
         while True:
-            stop = bucket // 2 if bucket > min_bucket else 0
-            st_c, alive = level_kernel(data_c, st_c, cap_a,
-                                       jnp.asarray(stop, jnp.int32),
-                                       budget_a, valid)
-            sub = np.nonzero(np.asarray(alive)[:act.size])[0]
+            stop = min_bucket if bucket > min_bucket else 0
+            t0 = _time.perf_counter() if _debug else 0.0
+            st_c, alive, needs = level_kernel(data_c, st_c, cap_a,
+                                              jnp.asarray(stop, jnp.int32),
+                                              budget_a, valid)
+            alive_np, needs_np = jax.device_get((alive, needs))
+            sub = np.nonzero(alive_np[:act.size])[0]
+            # a settled lane's status (hence needs flag) is frozen, so
+            # OR-ing every level's flags over the current work set sees
+            # each lane's final value at least once before it leaves
+            needs_any = needs_any or bool(needs_np[:act.size].any())
+            if _debug:
+                print(f"[level] bucket={bucket} alive={sub.size} "
+                      f"wall={_time.perf_counter() - t0:.3f}s", flush=True)
             if sub.size == 0:
                 if bucket < B:
-                    st = scatter_back(st, st_c, act)
+                    st = scatter_rows(st, st_c, np.arange(act.size), act)
                 else:
                     st = st_c
-                return st
+                return st, needs_any
             new_bucket = max(1 << (int(sub.size) - 1).bit_length(),
                              min_bucket)
             if new_bucket < bucket:
-                # compact: settle finished rows, re-gather the survivors
-                st = st_c if bucket >= B else scatter_back(st, st_c, act)
+                # compact: settle rows LEAVING the work set, re-gather the
+                # survivors into the smaller bucket
+                if bucket >= B:
+                    st = st_c
+                else:
+                    leave = np.setdiff1d(np.arange(act.size), sub)
+                    if leave.size:
+                        st = scatter_rows(st, st_c, leave, act[leave])
                 act = act[sub]
                 bucket = new_bucket
                 pad = np.concatenate(
@@ -411,25 +452,23 @@ def make_chunked_batch_solver(spec: ConeSpec, stg: Settings,
 
     def solve(*arrays, max_iters: Optional[int] = None) -> SolveResult:
         cap_total = stg.max_iters if max_iters is None else max_iters
+        t0 = _time.perf_counter() if _debug else 0.0
         data, st = init_b(*arrays)
+        if _debug:
+            jax.tree.map(lambda a: a.block_until_ready(), st.u)
+            print(f"[init] wall={_time.perf_counter() - t0:.3f}s",
+                  flush=True)
         if not mixed:
-            st = run_phase(level_b, data, st, cap_total)
+            st, _ = run_phase(level_b, data, st, cap_total)
             return final_b(data, st)
 
-        # fast phase at floored targets
-        st = run_phase(level_b, _floored_data(data, arrays[0].dtype), st,
-                       cap_total)
+        # fast phase at floored targets; the level pulls already carried
+        # the per-lane needs-polish flags (no extra status round trip)
+        st, needs_any = run_phase(
+            level_b, _floored_data(data, arrays[0].dtype), st, cap_total)
         # lazy polish phase: compile the f64 program only if some lane's
         # true targets lie below the fast floor AND its status needs it
-        status = np.asarray(st.status)
-        has_psd = bool(spec.s or spec.cs or spec.d or spec.nuc_m
-                       or spec.sl_n)
-        solved_tight = ((status == config.SOLVED)
-                        & ((stg.eps_abs < floor) | (stg.eps_rel < floor)
-                           | has_psd))
-        cert_tight = (np.isin(status, (config.INFEASIBLE, config.UNBOUNDED))
-                      & ((stg.eps_infeas < floor) | has_psd))
-        if (solved_tight | cert_tight).any():
+        if needs_any:
             if not polish:
                 stg2 = dataclasses.replace(stg, mixed_precision=False)
                 loop2_b = make_batched_loop(spec, stg2)
@@ -440,13 +479,13 @@ def make_chunked_batch_solver(spec: ConeSpec, stg: Settings,
                                  valid)
                     alive = ((st.status == config.UNFINISHED)
                              & (st.iter < iter_cap))
-                    return st, alive & valid
+                    return st, alive & valid, jnp.zeros_like(alive)
 
                 polish["level"] = jax.jit(_level2)
                 polish["repair"] = jax.jit(
                     jax.vmap(make_repair_fn(spec, stg2)))
             st = polish["repair"](data, st)
-            st = run_phase(polish["level"], data, st, cap_total)
+            st, _ = run_phase(polish["level"], data, st, cap_total)
         return final_b(data, st)
 
     return solve

@@ -220,11 +220,33 @@ def root_plus(g, p, mu, eta, diag_r, nm: int):
     return jnp.where(ok, out, jnp.nan)
 
 
-def populate_residuals(data: ProblemData, spec: ConeSpec, u, rsk, it) -> Residuals:
+def _res_matvec(data: ProblemData, x, transpose: bool):
+    """A@x / A'@x via the cached double-single split when present (f32
+    speed at ~1e-13 relative accuracy — far below every termination
+    tolerance; TPU f64 matvecs are software-emulated at ~12 GB/s)."""
+    cache = data.lin_cache
+    ds = getattr(cache, "ds_bwd" if transpose else "ds_fwd", None)
+    if ds is None:
+        return (data.A.T @ x) if transpose else (data.A @ x)
+    from .ops.sparse import DsSparse, ds_sparse_matvec
+    if isinstance(ds, DsSparse):
+        return ds_sparse_matvec(ds, x)
+    from .ops import dsmatvec
+    m, n = data.A.shape
+    return dsmatvec.ds_matvec(ds, x, n if transpose else m,
+                              m if transpose else n)
+
+
+def populate_residuals(data: ProblemData, spec: ConeSpec, u, rsk, it,
+                       use_ds: bool = False) -> Residuals:
     """Compute normalized residuals, unnormalize, reduce to scalars.
 
     Reference: populate_residual_struct + unnormalize_residuals + the two
     compute_residuals calls (scs.c:454-607).
+
+    use_ds routes the A matvecs through the cached double-single kernel
+    (the mixed path's in-loop checks; the pure path and the one-shot
+    finalization stay plain f64).
     """
     m, n = data.A.shape
     dtype = u.dtype
@@ -234,7 +256,7 @@ def populate_residuals(data: ProblemData, spec: ConeSpec, u, rsk, it) -> Residua
     tau = jnp.abs(u[n + m])
     kap = jnp.abs(rsk[n + m])
 
-    ax = data.A @ x
+    ax = _res_matvec(data, x, False) if use_ds else data.A @ x
     ax_s = ax + s
     ax_s_btau = ax_s - tau * data.b
     if data.P is not None:
@@ -243,7 +265,7 @@ def populate_residuals(data: ProblemData, spec: ConeSpec, u, rsk, it) -> Residua
     else:
         px = jnp.zeros((n,), dtype)
         xt_p_x_tau = jnp.zeros((), dtype)
-    aty = data.A.T @ y
+    aty = _res_matvec(data, y, True) if use_ds else data.A.T @ y
     px_aty_ctau = px + aty + tau * data.c
     bty_tau = y @ data.b
     ctx_tau = x @ data.c
@@ -546,7 +568,7 @@ def _build_iteration(spec: ConeSpec, stg: Settings):
         if with_check:
             # 7. residuals + convergence check every CONVERGED_INTERVAL
             def fresh_res(_):
-                r = populate_residuals(data, spec, u, rsk, i)
+                r = populate_residuals(data, spec, u, rsk, i, use_ds=mixed)
                 return r, has_converged(r, data, stg)
 
             if force_check:
@@ -661,23 +683,39 @@ def make_batched_loop(spec: ConeSpec, stg: Settings):
     Architecture (TPU-specific; no reference analog): the while_loop is NOT
     vmapped — its carry is the *batched* state plus one SCALAR phase counter
     k (every still-running lane of a phase has stepped the same number of
-    times, so k == cadence of all active lanes). Cadence predicates — AA
-    apply every `acceleration_interval`, residual check + adaptive scale
-    every CONVERGED_INTERVAL — are therefore scalar, and lax.cond executes
-    ONLY the due branch. Under the legacy jit(vmap(loop)) formulation those
-    predicates are per-lane, every cond lowers to a select that computes
-    BOTH branches, and Anderson acceleration's QR runs every iteration
-    instead of every 10th.
+    times, so k == cadence of all active lanes). The AA(interval) and
+    residual-check(CONVERGED_INTERVAL) cadences repeat with period
+    MACRO = lcm(interval, CONVERGED_INTERVAL) — 50 at the defaults — so the
+    while body is one STATICALLY SCHEDULED macro of MACRO sub-steps: plain
+    runs as fori_loops, AA/check steps inlined at their fixed offsets, zero
+    data-dependent conditionals. (The previous per-step lax.cond
+    formulation was already cadence-correct, but each scalar conditional
+    copies the full batched state tuple in and out — profiled at ~1.0 ms
+    of a 3.2 ms device step at B=256, 30% pure overhead. Under the even
+    older jit(vmap(loop)) formulation the predicates were per-lane and
+    every cond lowered to a select computing BOTH branches — AA's QR ran
+    every iteration.) When lcm(interval, 25) is impractically large
+    (unusual interval settings) the per-step cond body is used instead.
 
     Per-lane freezing (terminated / at-cap lanes stop changing) is an
-    explicit select (_mask_lanes) — the same select the vmapped while_loop
-    would insert, at the same cost.
+    explicit select (_mask_lanes) per sub-step — the same select the
+    vmapped while_loop would insert, at the same cost.
+
+    Invariant of the macro-scheduled path: every call starts at a
+    macro-aligned lockstep counter (k0 % MACRO == 0). This holds by
+    construction — fresh solves and the polish phase start at cadence 0,
+    and level calls only ever stop at macro boundaries, which compaction
+    gathers preserve.
 
     Args (all traced, so one compile per batch shape):
       iter_cap:   per-lane iteration cap (max_iters)
       stop_alive: return once the number of running lanes is <= this
-                  (straggler compaction hook; 0 = run to completion)
-      k_budget:   max loop steps this call (bounds device-program runtime)
+                  (straggler compaction hook; 0 = run to completion);
+                  checked at macro boundaries, so a call may overshoot by
+                  up to MACRO-1 sub-steps (bounded, converged lanes are
+                  frozen, still-running lanes make useful progress)
+      k_budget:   max loop steps this call (bounds device-program runtime;
+                  rounded up to a whole number of macros)
       valid:      optional (B,) bool — False rows are compaction padding
                   and excluded from the alive count
 
@@ -694,6 +732,28 @@ def make_batched_loop(spec: ConeSpec, stg: Settings):
     core_check_b = jax.vmap(
         lambda d, s: blocks.core(d, s, with_check=True, force_check=True),
         in_axes=(0, 0))
+
+    ci = config.CONVERGED_INTERVAL
+    macro = _lcm(interval, ci) if use_aa else ci
+
+    # static sub-step schedule for offsets 1..MACRO-1 (offset 0 is special:
+    # check always due there, AA due unless the global counter is 0)
+    schedule = []          # list of (kind, length); plain runs coalesced
+    run = 0
+    for j in range(1, macro):
+        aa_due = use_aa and j % interval == 0
+        chk = j % ci == 0
+        if aa_due or chk:
+            if run:
+                schedule.append(("plain", run))
+                run = 0
+            kind = "aa_check" if (aa_due and chk) else (
+                "aa" if aa_due else "check")
+            schedule.append((kind, 1))
+        else:
+            run += 1
+    if run:
+        schedule.append(("plain", run))
 
     def loop(data: ProblemData, st: LoopState, iter_cap, stop_alive,
              k_budget, valid=None) -> LoopState:
@@ -712,10 +772,46 @@ def make_batched_loop(spec: ConeSpec, stg: Settings):
             alive = alive_of(st)
             return (jnp.sum(alive) > stop_alive) & (k - k0 < k_budget)
 
+        def substep(st: LoopState, kind: str) -> LoopState:
+            active = alive_of(st)
+            if kind == "plain":
+                new = core_plain_b(data, st)
+            elif kind == "check":
+                new = core_check_b(data, st)
+            elif kind == "aa":
+                new = guard_b(core_plain_b(data, aa_b(st)))
+            else:  # aa_check
+                new = guard_b(core_check_b(data, aa_b(st)))
+            return _mask_lanes(new, st, active)
+
+        def plain_run(st: LoopState, length: int) -> LoopState:
+            if length == 1:
+                return substep(st, "plain")
+            return jax.lax.fori_loop(
+                0, length, lambda _, s: substep(s, "plain"), st)
+
+        def macro_body(carry):
+            k, st = carry
+            # offset 0: check due; AA due at every macro boundary except
+            # the very first step of a phase (scs.c: AA applies for i > 0)
+            if use_aa:
+                st = jax.lax.cond(
+                    k > 0,
+                    lambda s: substep(s, "aa_check"),
+                    lambda s: substep(s, "check"), st)
+            else:
+                st = substep(st, "check")
+            for kind, length in schedule:
+                if kind == "plain":
+                    st = plain_run(st, length)
+                else:
+                    st = substep(st, kind)
+            return k + macro, st
+
         def body_fn(carry):
             k, st = carry
             active = alive_of(st)
-            check_due = (k % config.CONVERGED_INTERVAL) == 0
+            check_due = (k % ci) == 0
 
             def run_core(st: LoopState) -> LoopState:
                 return jax.lax.cond(
@@ -734,10 +830,22 @@ def make_batched_loop(spec: ConeSpec, stg: Settings):
                 st_new = run_core(st)
             return k + 1, _mask_lanes(st_new, st, active)
 
-        _, st = jax.lax.while_loop(cond_fn, body_fn, (k0, st))
+        body = macro_body if macro <= _MACRO_CAP else body_fn
+        _, st = jax.lax.while_loop(cond_fn, body, (k0, st))
         return st
 
     return loop
+
+
+def _lcm(a: int, b: int) -> int:
+    import math
+
+    return a * b // math.gcd(a, b)
+
+
+# above this, the unrolled macro body's program size outweighs the
+# conditional-overhead savings; fall back to the per-step cond body
+_MACRO_CAP = 150
 
 
 # ---------------------------------------------------------------------------

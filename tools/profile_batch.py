@@ -22,7 +22,8 @@ def main():
     import jax.numpy as jnp
     import scs_tpu  # noqa: F401
     from scs_tpu.models import gen_planted
-    from scs_tpu.parallel import make_chunked_batch_solver
+    from scs_tpu.parallel import (make_batch_solver,
+                                  make_chunked_batch_solver)
     from scs_tpu.types import ConeSpec, Settings
 
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
@@ -54,8 +55,12 @@ def main():
     bl = jnp.zeros((B, 0), A.dtype)
 
     for name in which:
-        stg = Settings(**variants[name])
-        solver = make_chunked_batch_solver(spec, stg, has_P=False)
+        nocompact = name.startswith("nc_")
+        stg = Settings(**variants[name.removeprefix("nc_")])
+        if nocompact:
+            solver = make_batch_solver(spec, stg, has_P=False)
+        else:
+            solver = make_chunked_batch_solver(spec, stg, has_P=False)
         t0 = time.perf_counter()
         res = solver(A, b, c, bu, bl)
         iters = np.asarray(res.iters)
