@@ -30,8 +30,8 @@ _FALLBACK_SCS_ITERS_PER_SEC = 12_500.0
 # "Measured on one TPU v5 lite chip" and docs/PERFORMANCE.md when a real
 # TPU run improves it.
 _LAST_TPU_MEASUREMENT = {
-    "value": 40100.0, "vs_baseline": 2.74, "batch": 1024,
-    "date": "2026-08-17", "source": "README.md / docs/PERFORMANCE.md",
+    "value": 44646.7, "vs_baseline": 2.88, "batch": 1024,
+    "date": "2026-08-20", "source": "README.md / docs/PERFORMANCE.md",
 }
 
 _SCS_BUILD = "/tmp/scs_bench_build"

@@ -95,7 +95,9 @@ def main():
     st1 = loop_b(fdata, st, cap, run_all, kb)
     np.asarray(st1.iter)
 
+    import shutil
     logdir = "/tmp/xprof_batch"
+    shutil.rmtree(logdir, ignore_errors=True)
     os.makedirs(logdir, exist_ok=True)
     print("tracing...", file=sys.stderr)
     t0 = time.perf_counter()
