@@ -29,6 +29,7 @@ def dump_top_ops(logdir, top=40):
         return
     total_by_name = defaultdict(float)
     count_by_name = defaultdict(int)
+    seen_lines = set()
     for p in paths:
         xs = xplane_pb2.XSpace()
         with open(p, "rb") as f:
@@ -40,11 +41,21 @@ def dump_top_ops(logdir, top=40):
                 continue
             ev_names = plane.event_metadata
             for line in plane.lines:
+                seen_lines.add(f"{plane.name} :: {line.name}")
+                # leaf-op lines only: module/while/cond hierarchy lines
+                # double-count their children
+                if "XLA Ops" not in line.name and "Ops" != line.name:
+                    continue
                 for ev in line.events:
                     name = ev_names[ev.metadata_id].name
                     dur = ev.duration_ps / 1e9  # ms
                     total_by_name[name] += dur
                     count_by_name[name] += 1
+    if not total_by_name:
+        print("no 'XLA Ops' line found; available lines:")
+        for ln in sorted(seen_lines):
+            print("  ", ln)
+        return
     rows = sorted(total_by_name.items(), key=lambda kv: -kv[1])[:top]
     tot = sum(total_by_name.values())
     print(f"\n{'ms total':>10} {'count':>7} {'%':>5}  op")
