@@ -25,7 +25,8 @@ from .equilibrate import (equilibrate, identity_scaling, normalize_b_c,
 from .linsys import (Mats, get_backend, prepare_operands,
                      resolve_mixed)
 from .solver import (TRACE_COLUMNS, LoopState, ProblemData, Residuals,
-                     make_runner, make_trace_runner, pack_warm_v,
+                     make_instrumented_runner, make_runner,
+                     make_trace_runner, pack_warm_v,
                      populate_residuals, set_diag_r)
 from .types import ConeData, ConeSpec, Info, Problem, Settings, Solution
 from .validation import ValidationError, validate
@@ -46,6 +47,11 @@ def _compile_key(stg: Settings) -> Settings:
 @functools.lru_cache(maxsize=64)
 def _cached_runner(spec: ConeSpec, stg: Settings):
     return make_runner(spec, stg)
+
+
+@functools.lru_cache(maxsize=16)
+def _cached_instrumented(spec: ConeSpec, stg: Settings):
+    return make_instrumented_runner(spec, stg)
 
 
 @functools.lru_cache(maxsize=16)
@@ -359,6 +365,12 @@ class Workspace:
         csv = None
         if stg.log_csv_filename:
             csv = _CsvTrace(stg.log_csv_filename)
+        # measured per-phase timers (scs.c:1380-1393): dispatch phases
+        # separately and wall-clock each — actual, not estimated. The CSV
+        # trace runner already owns the dispatch structure, so under CSV
+        # logging the estimated attribution below is used instead.
+        phase_ms = ({"lin_ms": 0.0, "cone_ms": 0.0, "accel_ms": 0.0}
+                    if (stg.profile_phases and csv is None) else None)
 
         time_limit_reached = False
         interrupted = False
@@ -418,6 +430,11 @@ class Workspace:
                             self.spec, cur_key, chunk)(
                                 data, st, jnp.asarray(cap, jnp.int32))
                         csv.write_rows(rows, time.perf_counter() - t0)
+                    elif phase_ms is not None:
+                        st, tms = _cached_instrumented(
+                            self.spec, cur_key)(data, st, cap)
+                        for k in phase_ms:
+                            phase_ms[k] += tms[k]
                     else:
                         st = runner(data, st, jnp.asarray(cap, jnp.int32))
                     if (checkpoint_file and next_ckpt is not None
@@ -441,24 +458,40 @@ class Workspace:
         info.solve_time = solve_ms
         info.setup_time = self.setup_time_ms
         if stg.profile_phases:
-            # per-phase attribution (scs.c:1380-1393 accumulates around
-            # each phase call; here phases fuse into one XLA program, so
-            # attribute via standalone per-phase ms x call counts)
-            if getattr(self, "_phase_ms", None) is None:
-                self._phase_ms = self.profile(n_calls=5)
-            pm = self._phase_ms
-            n_lin = info.iter + 1 + info.scale_updates
-            info.lin_sys_time = pm["lin_sys_time_ms"] * n_lin
-            info.cone_time = pm["cone_time_ms"] * info.iter
-            info.accel_time = pm["accel_time_ms"] * (
-                info.iter // max(stg.acceleration_interval, 1))
+            if phase_ms is not None:
+                # MEASURED attribution: wall-clock accumulated around
+                # each phase dispatch of this very solve (the reference's
+                # contract, scs.c:1380-1393) — sees real phase-cost
+                # drift, e.g. CG iterations growing late in the solve
+                info.lin_sys_time = phase_ms["lin_ms"]
+                info.cone_time = phase_ms["cone_ms"]
+                info.accel_time = phase_ms["accel_ms"]
+            else:
+                # CSV-trace mode owns the dispatch structure; fall back
+                # to estimated attribution (standalone per-phase ms x
+                # call counts)
+                if getattr(self, "_phase_ms", None) is None:
+                    self._phase_ms = self.profile(n_calls=5)
+                pm = self._phase_ms
+                n_lin = info.iter + 1 + info.scale_updates
+                info.lin_sys_time = pm["lin_sys_time_ms"] * n_lin
+                info.cone_time = pm["cone_time_ms"] * info.iter
+                info.accel_time = pm["accel_time_ms"] * (
+                    info.iter // max(stg.acceleration_interval, 1))
             # SPECTRAL_TIMING averages (scs.h:237-243): the reference
             # divides accumulated totals by iterations; the standalone
-            # per-call ms here IS the per-iteration average
-            if "mat_cone_ms" in pm:
-                info.ave_time_matrix_cone_proj = pm["mat_cone_ms"]
-            if "vec_cone_ms" in pm:
-                info.ave_time_vector_cone_proj = pm["vec_cone_ms"]
+            # per-call ms here IS the per-iteration average. The fused
+            # cone phase cannot split matrix-vs-vector cones, so these
+            # stay estimate-based in both modes.
+            if self.spec.s or self.spec.cs or self.spec.d \
+                    or self.spec.nuc_m or self.spec.sl_n:
+                if getattr(self, "_phase_ms", None) is None:
+                    self._phase_ms = self.profile(n_calls=5)
+                pm = self._phase_ms
+                if "mat_cone_ms" in pm:
+                    info.ave_time_matrix_cone_proj = pm["mat_cone_ms"]
+                if "vec_cone_ms" in pm:
+                    info.ave_time_vector_cone_proj = pm["vec_cone_ms"]
         # persist adapted scale / diag_r for subsequent warm solves
         self.scale = float(st.scale)
         self.diag_r = st.diag_r

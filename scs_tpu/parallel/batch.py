@@ -25,12 +25,12 @@ import jax.numpy as jnp
 from .. import config
 from ..accel import aa_init
 from ..equilibrate import (equilibrate, identity_scaling, normalize_b_c,
-                           unnormalize_xys)
+                           normalize_xys, unnormalize_xys)
 from ..cones.box import scale_box_bounds
 from ..linsys import (Mats, get_backend, prepare_operands,
                       resolve_mixed)
 from ..solver import (LoopState, ProblemData, Residuals, make_batched_loop,
-                      make_loop, populate_residuals, set_diag_r)
+                      make_loop, pack_warm_v, populate_residuals, set_diag_r)
 from ..types import ConeData, ConeSpec, Settings
 
 
@@ -229,6 +229,74 @@ def make_repair_fn(spec: ConeSpec, stg: Settings):
     return repair
 
 
+def make_update_fn(stg: Settings):
+    """Per-lane b/c swap without re-equilibration or refactorization — the
+    batched analog of scs_update (scs.c:1287-1325): re-normalize the new
+    b/c through the cached D/E scaling and refresh sigma + original-space
+    norms. Everything else in ProblemData (A, P, scal.D/E, factorization
+    operands) is reused unchanged."""
+
+    def update_fn(data: ProblemData, b_new, c_new) -> ProblemData:
+        nm_b = jnp.max(jnp.abs(b_new))
+        nm_c = jnp.max(jnp.abs(c_new))
+        if stg.normalize:
+            b_n, c_n, scal = normalize_b_c(data.scal, b_new, c_new)
+        else:
+            b_n, c_n, scal = b_new, c_new, data.scal
+        return dataclasses.replace(
+            data, b=b_n, c=c_n, b_orig=b_new, c_orig=c_new,
+            nm_b_orig=nm_b, nm_c_orig=nm_c, scal=scal)
+
+    return update_fn
+
+
+def make_restart_fn(spec: ConeSpec, stg: Settings, warm: bool):
+    """Per-lane fresh LoopState for a re-solve on the batched path.
+
+    Keeps each lane's adapted diag_r/scale (api.Workspace persists these
+    across solves the same way), re-derives the factorization for the
+    phase-appropriate precision, and recomputes the g = (I+M)^{-1}[c;-b]
+    cache (update_work_cache, scs.c:1118-1128) — required after a b/c
+    update. warm=True packs v from a prior (x, y, s) with NaN scrubbing
+    (warm_start_vars, scs.c:660-679); warm=False cold-starts
+    (cold_start_vars, scs.c:681-685). iter resets to 0 so the
+    FEASIBLE_ITERS tau-pinning re-applies per solve per lane
+    (glbopts.h:188)."""
+    backend = get_backend(stg.linsys)
+    mixed = resolve_mixed(stg)
+
+    def restart(data: ProblemData, st: LoopState, *warm_xys) -> LoopState:
+        dtype = st.u.dtype
+        l = st.u.shape[0]
+        mats = Mats(data.A, data.P, data.A32, data.P32, data.lin_cache)
+        derived = backend.derive(mats, st.diag_r, st.scale, mixed=mixed)
+        h = jnp.concatenate([data.c, -data.b])
+        g, _ = backend.solve(mats, st.diag_r, derived, h, None,
+                             jnp.asarray(config.CG_BEST_TOL, dtype))
+        zero_l = jnp.zeros((l,), dtype)
+        if warm:
+            x, y, s = (a.astype(dtype) for a in warm_xys)
+            if stg.normalize:
+                x, y, s = normalize_xys(data.scal, x, y, s)
+            v = pack_warm_v(x, y, s, st.diag_r, scrub_nan=True)
+        else:
+            v = zero_l.at[l - 1].set(1.0)
+        zf = jnp.zeros((), dtype)
+        zi = jnp.zeros((), jnp.int32)
+        return LoopState(
+            u=zero_l, u_t=zero_l, v=v, v_prev=v, rsk=zero_l,
+            diag_r=st.diag_r, g=g, derived=derived, scale=st.scale,
+            box_t_warm=jnp.ones((), dtype), res=Residuals.zeros(dtype),
+            sum_log_scale_factor=zf, n_log_scale_factor=zf,
+            last_scale_update_iter=zi, scale_updates=zi, status=zi,
+            iter=zi, cadence=zi,
+            aa=aa_init(l, max(stg.acceleration_lookback, 1), dtype),
+            aa_norm=zf, accepted_accel=zi, rejected_accel=zi,
+            tot_cg_its=zi)
+
+    return restart
+
+
 def make_pure_solver(spec: ConeSpec, stg: Settings,
                      max_iters: Optional[int] = None):
     """Single-dispatch solve_fn(A, P, b, c, bu, bl) -> SolveResult.
@@ -320,9 +388,8 @@ def make_batch_solver(spec: ConeSpec, stg: Settings,
 
 
 @functools.lru_cache(maxsize=32)
-def make_chunked_batch_solver(spec: ConeSpec, stg: Settings,
-                              has_P: bool = False):
-    """Batch solver with level-based dispatch + straggler compaction.
+def _chunk_machinery(spec: ConeSpec, stg: Settings, has_P: bool = False):
+    """Shared level-dispatch + straggler-compaction machinery.
 
     Each device dispatch runs the batched loop until the running set has
     halved (or `8 * chunk_iters` steps elapsed, bounding single-program
@@ -333,7 +400,10 @@ def make_chunked_batch_solver(spec: ConeSpec, stg: Settings,
     high-latency links (remote-TPU tunnels): the previous per-chunk design
     paid ~3 blocking transfers every `chunk_iters` iterations.
 
-    Returns solve(A, [P], b, c, bu, bl, max_iters=None) -> SolveResult.
+    Returns (init_b, final_b, solve_from) with
+    solve_from(data, st, cap_total) -> (SolveResult, final LoopState);
+    the final state carries each lane's adapted diag_r/scale for
+    subsequent warm re-solves (BatchWorkspace).
     """
     init_fn, _, final_fn = make_solver_parts(spec, stg)
     init_b = jax.jit(_vmap_six(init_fn, has_P))
@@ -450,22 +520,17 @@ def make_chunked_batch_solver(spec: ConeSpec, stg: Settings,
                 st_c = jax.tree.map(lambda a: a[take], st)
                 valid = jnp.asarray(np.arange(bucket) < act.size)
 
-    def solve(*arrays, max_iters: Optional[int] = None) -> SolveResult:
-        cap_total = stg.max_iters if max_iters is None else max_iters
-        t0 = _time.perf_counter() if _debug else 0.0
-        data, st = init_b(*arrays)
-        if _debug:
-            jax.tree.map(lambda a: a.block_until_ready(), st.u)
-            print(f"[init] wall={_time.perf_counter() - t0:.3f}s",
-                  flush=True)
+    def solve_from(data, st, cap_total):
+        """Run all phases from an arbitrary (data, state) pair. Returns
+        (SolveResult, final LoopState)."""
         if not mixed:
             st, _ = run_phase(level_b, data, st, cap_total)
-            return final_b(data, st)
+            return final_b(data, st), st
 
         # fast phase at floored targets; the level pulls already carried
         # the per-lane needs-polish flags (no extra status round trip)
         st, needs_any = run_phase(
-            level_b, _floored_data(data, arrays[0].dtype), st, cap_total)
+            level_b, _floored_data(data, st.u.dtype), st, cap_total)
         # lazy polish phase: compile the f64 program only if some lane's
         # true targets lie below the fast floor AND its status needs it
         if needs_any:
@@ -486,6 +551,115 @@ def make_chunked_batch_solver(spec: ConeSpec, stg: Settings,
                     jax.vmap(make_repair_fn(spec, stg2)))
             st = polish["repair"](data, st)
             st, _ = run_phase(polish["level"], data, st, cap_total)
-        return final_b(data, st)
+        return final_b(data, st), st
+
+    def timed_init(*arrays):
+        t0 = _time.perf_counter() if _debug else 0.0
+        data, st = init_b(*arrays)
+        if _debug:
+            jax.tree.map(lambda a: a.block_until_ready(), st.u)
+            print(f"[init] wall={_time.perf_counter() - t0:.3f}s",
+                  flush=True)
+        return data, st
+
+    return timed_init, final_b, solve_from
+
+
+@functools.lru_cache(maxsize=32)
+def make_chunked_batch_solver(spec: ConeSpec, stg: Settings,
+                              has_P: bool = False):
+    """Batch solver with level-based dispatch + straggler compaction
+    (see _chunk_machinery for the dispatch strategy).
+
+    Returns solve(A, [P], b, c, bu, bl, max_iters=None) -> SolveResult.
+    For parametric sequences (update b/c + warm re-solve) use
+    BatchWorkspace instead.
+    """
+    init_b, _, solve_from = _chunk_machinery(spec, stg, has_P)
+
+    def solve(*arrays, max_iters: Optional[int] = None) -> SolveResult:
+        cap_total = stg.max_iters if max_iters is None else max_iters
+        data, st = init_b(*arrays)
+        result, _ = solve_from(data, st, cap_total)
+        return result
 
     return solve
+
+
+class BatchWorkspace:
+    """Batched analog of api.Workspace: equilibrate + factor a batch of
+    problems once, then update b/c and warm re-solve without paying setup
+    again — the reference's parametric workflow (scs_update +
+    scs_solve(warm_start=1); scs.c:660-679, 1287-1325;
+    test/problems/lp_update.h) on the vmapped, straggler-compacted TPU
+    path. The flagship use is MPC-style scenario batches: set up 10k
+    problems once, then each control step shift b and warm re-solve in a
+    fraction of the cold iteration count (examples/mpc_warm_batch.py).
+
+    Example::
+
+        ws = BatchWorkspace(spec, stg, A, P, b, c)
+        r0 = ws.solve()                   # cold
+        ws.update(b=b_next)               # no re-equilibration/refactor
+        r1 = ws.solve(warm_start=True)    # seeds each lane from r0
+    """
+
+    def __init__(self, spec: ConeSpec, stg: Settings, A, P, b, c,
+                 bu=None, bl=None):
+        self.spec, self.stg = spec, stg
+        has_P = P is not None
+        dtype = stg.dtype
+        A = jnp.asarray(A, dtype)
+        B = A.shape[0]
+        k = max(spec.bsize - 1, 0)
+        if bu is None:
+            bu = jnp.zeros((B, k), dtype)
+        if bl is None:
+            bl = jnp.zeros((B, k), dtype)
+        init_b, _, self._solve_from = _chunk_machinery(spec, stg, has_P)
+        self._update_b = jax.jit(jax.vmap(make_update_fn(stg)))
+        self._restart = {
+            w: jax.jit(jax.vmap(make_restart_fn(spec, stg, w)))
+            for w in (False, True)
+        }
+        arrays = [A, jnp.asarray(b, dtype), jnp.asarray(c, dtype),
+                  jnp.asarray(bu, dtype), jnp.asarray(bl, dtype)]
+        if has_P:
+            arrays.insert(1, jnp.asarray(P, dtype))
+        self.data, self._st = init_b(*arrays)
+        # _fresh: _st is still the pristine cold state whose g-cache
+        # matches the current b/c (becomes stale on update/solve)
+        self._fresh = True
+        self.last_result: Optional[SolveResult] = None
+
+    # -- scs_update analog (batched) --
+    def update(self, b=None, c=None) -> None:
+        """Replace b and/or c batch-wide ((B, m) / (B, n) arrays); reuses
+        the cached equilibration and factorization."""
+        d = self.data
+        b_new = d.b_orig if b is None else jnp.asarray(b, d.b.dtype)
+        c_new = d.c_orig if c is None else jnp.asarray(c, d.c.dtype)
+        self.data = self._update_b(d, b_new, c_new)
+        self._fresh = False
+
+    def solve(self, warm_start: bool = False,
+              sol: Optional[SolveResult] = None,
+              max_iters: Optional[int] = None) -> SolveResult:
+        """Solve every lane. warm_start=True seeds each lane's v from
+        `sol` (default: the previous solve's result); lanes whose prior
+        solution is NaN (failed/infeasible) are scrubbed to a cold seed.
+        """
+        cap = self.stg.max_iters if max_iters is None else max_iters
+        src = sol if sol is not None else self.last_result
+        if warm_start and src is not None:
+            st = self._restart[True](self.data, self._st, src.x, src.y,
+                                     src.s)
+        elif self._fresh:
+            st = self._st
+        else:
+            st = self._restart[False](self.data, self._st)
+        self._fresh = False
+        result, st_final = self._solve_from(self.data, st, cap)
+        self._st = st_final   # per-lane adapted diag_r/scale persist
+        self.last_result = result
+        return result

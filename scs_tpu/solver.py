@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import time
 from typing import Any, NamedTuple, Optional
 
 import jax
@@ -354,11 +355,31 @@ class StepBlocks(NamedTuple):
     aa(st) -> st          Anderson-acceleration apply (caller owns cadence)
     guard(st) -> st       AA safeguard (self-gated per lane on aa_norm > 0)
     core(data, st, with_check, force_check=False) -> st   everything else
+    phases                PhaseFns: core further split at the reference's
+                          timer boundaries (scs.c:1380-1393) for the
+                          measured-profiling runner
     """
 
     aa: Any
     guard: Any
     core: Any
+    phases: Any
+
+
+class PhaseFns(NamedTuple):
+    """core() split at the reference's phase-timer boundaries so a host
+    driver can wall-clock each dispatch (make_instrumented_runner):
+    pre(st) -> st                normalize v + AA-safeguard snapshot
+    lin(data, st) -> st          linear-system projection + root_plus
+    cone(data, st) -> st         cone projection + rsk
+    post(data, st, check) -> st  residuals/convergence/scale + dual update
+    Composing pre->lin->cone->post(check=i%CONVERGED_INTERVAL==0) is
+    trajectory-identical to core(data, st, with_check=True)."""
+
+    pre: Any
+    lin: Any
+    cone: Any
+    post: Any
 
 
 def _mask_lanes(new_st, old_st, active):
@@ -626,9 +647,56 @@ def _build_iteration(spec: ConeSpec, stg: Settings):
             st = guard_block(st)
         return st
 
+    # ---- phase split of core() at the reference's timer boundaries ----
+    # (scs.c:1380-1393 wall-clocks each phase call; composing these four
+    # is trajectory-identical to core(with_check=True) — pinned by
+    # tests/test_api.py::test_profile_phases_measured)
+
+    def phase_pre(st: LoopState) -> LoopState:
+        i = st.iter
+        v = st.v
+        v_norm = jnp.linalg.norm(v)
+        v = jnp.where((i >= config.FEASIBLE_ITERS) & (v_norm > 0.0),
+                      renormalize_v(v), v)
+        return dataclasses.replace(st, v=v, v_prev=v)
+
+    def phase_lin(data: ProblemData, st: LoopState) -> LoopState:
+        u_t, cg_its = project_lin_sys(data, st, st.iter)
+        return dataclasses.replace(st, u_t=u_t,
+                                   tot_cg_its=st.tot_cg_its + cg_its)
+
+    def phase_cone(data: ProblemData, st: LoopState) -> LoopState:
+        u, box_t = project_cones(data, st, st.u_t, st.iter)
+        rsk = (st.v + u - 2.0 * st.u_t) * st.diag_r
+        return dataclasses.replace(st, u=u, rsk=rsk, box_t_warm=box_t)
+
+    def phase_post(data: ProblemData, st: LoopState,
+                   check: bool) -> LoopState:
+        i = st.iter
+        if check:
+            r = populate_residuals(data, spec, st.u, st.rsk, i,
+                                   use_ds=mixed)
+            st = dataclasses.replace(st, res=r,
+                                     status=has_converged(r, data, stg))
+
+        def proceed(st: LoopState) -> LoopState:
+            if check and stg.adaptive_scale:
+                st = update_scale(data, st, i)
+            v_new = st.v + data.alpha * (st.u - st.u_t)
+            return dataclasses.replace(st, v=v_new, iter=i + 1,
+                                       cadence=st.cadence + 1)
+
+        if check:
+            return jax.lax.cond(st.status == config.UNFINISHED, proceed,
+                                lambda s: s, st)
+        return proceed(st)
+
+    phases = PhaseFns(pre=phase_pre, lin=phase_lin, cone=phase_cone,
+                      post=phase_post)
     plain_step = functools.partial(step, with_check=False)
     check_step = functools.partial(step, with_check=True)
-    blocks = StepBlocks(aa=aa_block, guard=guard_block, core=core)
+    blocks = StepBlocks(aa=aa_block, guard=guard_block, core=core,
+                        phases=phases)
     return plain_step, check_step, update_work_cache, blocks
 
 
@@ -674,6 +742,70 @@ def make_runner(spec: ConeSpec, stg: Settings):
     """Build the jitted chunked runner: run until status != 0, iter cap, or
     chunk boundary (host checks time limit / prints between chunks)."""
     return jax.jit(make_loop(spec, stg))
+
+
+def make_instrumented_runner(spec: ConeSpec, stg: Settings):
+    """Measured per-phase timing runner (opt-in via
+    Settings.profile_phases).
+
+    The iteration is dispatched as SEPARATE jitted phase programs — AA
+    apply / pre / lin-sys / cones / post / AA safeguard — and the host
+    wall-clocks each blocking dispatch, exactly the reference's
+    accumulated phase timers (scs.c:1380-1393 wraps a timer around each
+    phase call). This sees real per-solve phase-cost drift (e.g. CG
+    iteration counts growing late in a solve) that the standalone
+    estimate (Workspace.profile) cannot. The cost is dispatch granularity:
+    phases no longer fuse into one XLA program, so a profiled solve is
+    slower than a production solve — same trade the reference makes for
+    its CSV trace mode (scs.h:99-100 "makes SCS very slow").
+
+    Trajectory-identical to make_loop (pinned by
+    tests/test_api.py::test_profile_phases_measured).
+
+    Returns run(data, st, iter_cap: int) -> (st, times_ms dict with
+    lin_ms / cone_ms / accel_ms accumulated over the run).
+    """
+    _, _, _, blocks = _build_iteration(spec, stg)
+    ph = blocks.phases
+    use_aa = stg.acceleration_lookback > 0
+    interval = max(stg.acceleration_interval, 1)
+
+    aa_j = jax.jit(blocks.aa)
+    guard_j = jax.jit(blocks.guard)
+    pre_j = jax.jit(ph.pre)
+    lin_j = jax.jit(ph.lin)
+    cone_j = jax.jit(ph.cone)
+    post_check_j = jax.jit(functools.partial(ph.post, check=True))
+    post_plain_j = jax.jit(functools.partial(ph.post, check=False))
+
+    def run(data: ProblemData, st: LoopState, iter_cap: int):
+        times = {"lin_ms": 0.0, "cone_ms": 0.0, "accel_ms": 0.0}
+
+        def timed(key, fn, *a):
+            t0 = time.perf_counter()
+            out = jax.block_until_ready(fn(*a))
+            times[key] += (time.perf_counter() - t0) * 1e3
+            return out
+
+        while True:
+            i, status = map(int, jax.device_get((st.iter, st.status)))
+            if status != config.UNFINISHED or i >= iter_cap:
+                break
+            aa_now = use_aa and i > 0 and i % interval == 0
+            if aa_now:
+                st = timed("accel_ms", aa_j, st)
+            st = pre_j(st)
+            st = timed("lin_ms", lin_j, data, st)
+            st = timed("cone_ms", cone_j, data, st)
+            if i % config.CONVERGED_INTERVAL == 0:
+                st = post_check_j(data, st)
+            else:
+                st = post_plain_j(data, st)
+            if aa_now:
+                st = timed("accel_ms", guard_j, st)
+        return st, times
+
+    return run
 
 
 def make_batched_loop(spec: ConeSpec, stg: Settings):

@@ -91,3 +91,22 @@ def verify_solution(problem, spec, cone_data, stg, info, sol, status):
         assert res_unbdd_a < stg.eps_infeas
     else:
         raise AssertionError(f"INVALID STATUS {status}")
+
+
+def stack_planted_problems(spec, n, count, seed0=100, with_P=False):
+    """Stack `count` same-shape planted problems into batched arrays —
+    the shared fixture builder for the batched-path tests."""
+    import jax.numpy as jnp
+
+    from scs_tpu.models import gen_planted
+
+    probs = [gen_planted(spec, n=n, seed=seed0 + i, density=0.4,
+                         with_P=with_P) for i in range(count)]
+    A = jnp.stack([p.problem.A for p in probs])
+    b = jnp.stack([p.problem.b for p in probs])
+    c = jnp.stack([p.problem.c for p in probs])
+    P = jnp.stack([p.problem.P for p in probs]) if with_P else None
+    bu = jnp.zeros((count, 0), A.dtype)
+    bl = jnp.zeros((count, 0), A.dtype)
+    opts = np.asarray([p.opt for p in probs])
+    return A, P, b, c, bu, bl, opts

@@ -261,6 +261,41 @@ def test_profile_phases():
     assert all(v > 0 for v in prof.values())
 
 
+def test_profile_phases_measured():
+    """profile_phases=True gives MEASURED per-solve phase ms (wall-clock
+    accumulated around each phase dispatch, scs.c:1380-1393), and the
+    instrumented dispatch is trajectory-identical to the fused runner."""
+    spec = ConeSpec(z=4, l=12, q=(6,))
+    p = gen_planted(spec, n=10, seed=29)
+
+    w0 = scs_tpu.Workspace(p.problem, spec, p.cone_data, Settings())
+    sol0, info0 = w0.solve()
+    w1 = scs_tpu.Workspace(p.problem, spec, p.cone_data,
+                           Settings(profile_phases=True))
+    sol1, info1 = w1.solve()
+
+    # same trajectory: identical iteration count, status, solution
+    assert info1.status_val == info0.status_val == config.SOLVED
+    assert info1.iter == info0.iter
+    np.testing.assert_allclose(np.asarray(sol1.x), np.asarray(sol0.x),
+                               rtol=1e-10, atol=1e-12)
+
+    # measured, positive, and monotone: phase totals fit in solve time
+    assert info1.lin_sys_time > 0
+    assert info1.cone_time > 0
+    assert info1.accel_time > 0   # AA ran (default lookback 10)
+    total = info1.lin_sys_time + info1.cone_time + info1.accel_time
+    assert total <= info1.solve_time, (total, info1.solve_time)
+
+    # measured values differ run-to-run with iteration count: a solve
+    # capped earlier must accumulate strictly less lin-sys time
+    w2 = scs_tpu.Workspace(p.problem, spec, p.cone_data,
+                           Settings(profile_phases=True, max_iters=30))
+    _, info2 = w2.solve()
+    assert info2.iter < info1.iter
+    assert info2.lin_sys_time < info1.lin_sys_time
+
+
 def test_profile_spectral_timing():
     """SPECTRAL_TIMING analog (scs.h:237-243): matrix/vector cone
     projection times appear iff spectral matrix cones are present, and

@@ -21,20 +21,19 @@ from scs_tpu import config
 from scs_tpu.parallel.batch import make_batched_solve_fn
 from scs_tpu.types import ConeSpec, Settings
 
-def _stack_problems(spec, n, count, seed0=100):
-    import jax.numpy as jnp
+from helpers import stack_planted_problems as _stack_problems
 
-    from scs_tpu.models import gen_planted
 
-    probs = [gen_planted(spec, n=n, seed=seed0 + i, density=0.4)
-             for i in range(count)]
-    A = jnp.stack([p.problem.A for p in probs])
-    b = jnp.stack([p.problem.b for p in probs])
-    c = jnp.stack([p.problem.c for p in probs])
-    bu = jnp.zeros((count, 0), A.dtype)
-    bl = jnp.zeros((count, 0), A.dtype)
-    opts = np.asarray([p.opt for p in probs])
-    return A, None, b, c, bu, bl, opts
+def _iterate_tols():
+    """The macro/fallback bodies are the same math in two program
+    structures; on the CPU/x64 backend pinned in conftest.py XLA compiles
+    them to bit-identical arithmetic, so the iterate comparison is
+    effectively exact. On other backends (real TPU) different fusion
+    choices may reorder floating point — loosen accordingly."""
+    import jax
+    if jax.default_backend() == "cpu":
+        return dict(rtol=1e-12, atol=1e-12)
+    return dict(rtol=1e-6, atol=1e-8)
 
 
 def _solve_with_cap(spec, stg, arrays, cap, monkeypatch):
@@ -70,7 +69,7 @@ def test_macro_body_matches_fallback_body(interval, monkeypatch):
     assert np.array_equal(np.asarray(res_macro.iters),
                           np.asarray(res_fall.iters))
     np.testing.assert_allclose(np.asarray(res_macro.x),
-                               np.asarray(res_fall.x), rtol=1e-12, atol=1e-12)
+                               np.asarray(res_fall.x), **_iterate_tols())
     assert np.all(np.asarray(res_macro.status) == config.SOLVED)
     np.testing.assert_allclose(np.asarray(res_macro.pobj), opts,
                                atol=1e-3, rtol=1e-3)
@@ -103,4 +102,4 @@ def test_no_aa_macro_is_check_interval(monkeypatch):
     assert np.array_equal(np.asarray(res_macro.iters),
                           np.asarray(res_fall.iters))
     np.testing.assert_allclose(np.asarray(res_macro.x),
-                               np.asarray(res_fall.x), rtol=1e-12, atol=1e-12)
+                               np.asarray(res_fall.x), **_iterate_tols())

@@ -11,18 +11,7 @@ from scs_tpu.parallel import (make_batch_solver, make_mesh,
                               shard_problem_batch)
 from scs_tpu.types import ConeSpec, Settings
 
-
-def _stack_problems(spec, n, count, seed0=100, with_P=False):
-    probs = [gen_planted(spec, n=n, seed=seed0 + i, density=0.4,
-                         with_P=with_P) for i in range(count)]
-    A = jnp.stack([p.problem.A for p in probs])
-    b = jnp.stack([p.problem.b for p in probs])
-    c = jnp.stack([p.problem.c for p in probs])
-    P = jnp.stack([p.problem.P for p in probs]) if with_P else None
-    bu = jnp.zeros((count, 0), A.dtype)
-    bl = jnp.zeros((count, 0), A.dtype)
-    opts = np.asarray([p.opt for p in probs])
-    return A, P, b, c, bu, bl, opts
+from helpers import stack_planted_problems as _stack_problems
 
 
 def test_vmap_batch_lp():
