@@ -12,6 +12,7 @@ can't be built/run here, a recorded measurement from this machine is used
 (see _FALLBACK_SCS_ITERS_PER_SEC).
 """
 
+import collections
 import json
 import os
 import re
@@ -20,6 +21,61 @@ import sys
 import time
 
 import numpy as np
+
+# ---- warmup attribution (r3 verdict weak #3: split compile vs
+# cache-load vs first-execute instead of one opaque "warmup" number) ----
+_DUR = collections.defaultdict(float)
+_EVT = collections.Counter()
+
+
+def install_monitoring():
+    """Listen to jax's compile/cache telemetry events (works on any jax
+    >= 0.4 exposing jax._src.monitoring; degrades to empty buckets)."""
+    try:
+        from jax._src import monitoring
+        monitoring.register_event_duration_secs_listener(
+            lambda k, d, **kw: _DUR.__setitem__(k, _DUR[k] + d))
+        monitoring.register_event_listener(
+            lambda k, **kw: _EVT.__setitem__(k, _EVT[k] + 1))
+    except Exception as e:  # noqa: BLE001
+        log(f"jax monitoring unavailable ({e!r}); warmup breakdown empty")
+
+
+def _snap():
+    return dict(_DUR), dict(_EVT)
+
+
+def _breakdown(before, wall_s):
+    """Delta of the compile-telemetry counters over a warmup call.
+
+    backend_compile_s includes persistent-cache retrieval when the entry
+    hits (deserialize + device load — measured ~30 s for this workload's
+    programs over the remote-TPU link), so compile vs load is told apart
+    by the hit/miss counters, and other_s = wall - trace - lower -
+    backend_compile is first-execution + transfers + dispatch latency."""
+    d0, e0 = before
+    d1, e1 = _snap()
+
+    def g(k):
+        return d1.get(k, 0.0) - d0.get(k, 0.0)
+
+    def ge(k):
+        return e1.get(k, 0) - e0.get(k, 0)
+
+    trace = g("/jax/core/compile/jaxpr_trace_duration")
+    lower = g("/jax/core/compile/jaxpr_to_mlir_module_duration")
+    comp = g("/jax/core/compile/backend_compile_duration")
+    return {
+        "wall_s": round(wall_s, 1),
+        "trace_s": round(trace, 2),
+        "lower_s": round(lower, 2),
+        "backend_compile_s": round(comp, 2),
+        "cache_retrieval_s": round(
+            g("/jax/compilation_cache/cache_retrieval_time_sec"), 2),
+        "cache_hits": ge("/jax/compilation_cache/cache_hits"),
+        "cache_misses": ge("/jax/compilation_cache/cache_misses"),
+        "other_s": round(max(wall_s - trace - lower - comp, 0.0), 1),
+    }
 
 # measured on this container (AMD host): demo_socp_indirect 100, 550 iters
 # in 4.40e-2 s solve time
@@ -101,6 +157,7 @@ def main():
     # the remote TPU worker occasionally crashes/restarts mid-run; one
     # retry re-runs the workload against the restarted worker so the
     # round still records a measurement
+    install_monitoring()
     if "--roofline" in sys.argv:
         import scs_tpu  # noqa: F401  (enables x64)
         from scs_tpu.ops import roofline
@@ -154,9 +211,14 @@ def _timed_batch(spec, stg, n, B, seed0, reps):
         return np.asarray(res.iters)
 
     log("compiling + warmup run...")
+    before = _snap()
     t0 = time.perf_counter()
     force(solver(A, b, c, bu, bl))
-    log(f"warmup (incl. compile/cache-load): {time.perf_counter() - t0:.1f}s")
+    warm = _breakdown(before, time.perf_counter() - t0)
+    log(f"warmup: {warm['wall_s']}s (trace {warm['trace_s']}s, lower "
+        f"{warm['lower_s']}s, compile-or-load {warm['backend_compile_s']}s "
+        f"[{warm['cache_hits']} hits/{warm['cache_misses']} misses, "
+        f"retrieval {warm['cache_retrieval_s']}s], other {warm['other_s']}s)")
 
     log(f"timed runs ({reps} reps; remote-TPU tunnel adds jitter)...")
     walls = []
@@ -174,7 +236,7 @@ def _timed_batch(spec, stg, n, B, seed0, reps):
         f"iters/s/chip best {max(ips):.0f} median {np.median(ips):.0f}")
     if solved < B:
         log(f"WARNING: statuses {np.unique(status)}")
-    return ips, solved, total_iters
+    return ips, solved, total_iters, warm
 
 
 def run_bench(baseline):
@@ -193,11 +255,14 @@ def run_bench(baseline):
     # TPU); direct (inverse-apply) backend; bounded device programs
     stg = Settings(linsys="direct", chunk_iters=250)
 
-    ips256, solved256, _ = _timed_batch(spec, stg, n, 256, 1000, reps=7)
+    warm1024 = None
+    ips256, solved256, _, warm256 = _timed_batch(spec, stg, n, 256, 1000,
+                                                 reps=7)
     ips1024 = []
     if "--quick" not in sys.argv:
         try:
-            ips1024, _, _ = _timed_batch(spec, stg, n, 1024, 5000, reps=5)
+            ips1024, _, _, warm1024 = _timed_batch(spec, stg, n, 1024, 5000,
+                                                   reps=5)
         except Exception as e:  # noqa: BLE001
             log(f"B=1024 leg failed ({e!r}); reporting B=256 only")
 
@@ -228,7 +293,10 @@ def run_bench(baseline):
         "b256_median": round(med, 1),
         "b256_spread": round((max(ips256) - min(ips256)) / med, 3),
         "baseline_iters_per_sec": round(baseline, 1),
+        "warmup_b256": warm256,
     }
+    if warm1024 is not None:
+        out["warmup_b1024"] = warm1024
     if ips1024:
         out["b1024_best"] = round(max(ips1024), 1)
         out["b1024_median"] = round(float(np.median(ips1024)), 1)

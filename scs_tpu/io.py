@@ -333,7 +333,18 @@ def write_scs_data(filename: str, problem: Problem, spec: ConeSpec,
     """Write the SCS binary format (readable by the reference solver).
 
     Uses the native (C++) codec when available, else the pure-Python path.
+    Sparse (blocked-ELL) A/P operands are streamed through the CSC
+    extractor (ops.sparse.sparse_to_csc) without densifying — the
+    reference codec writes CSC too (rw.c:574-603), so large sparse
+    problems produce repro files at O(nnz) cost.
     """
+    from .ops.sparse import is_sparse
+    if is_sparse(problem.A) or is_sparse(problem.P):
+        # the native codec's entry takes dense operands; the Python
+        # writer shares its byte layout (tests/test_native cross-checks)
+        # and consumes CSC triplets directly
+        _write_scs_data_py(filename, problem, spec, cone_data, stgs)
+        return
     from .utils import native
     if native.load() is not None:
         box_len = max(spec.bsize - 1, 0)
@@ -381,7 +392,11 @@ def _write_scs_data_py(filename: str, problem: Problem, spec: ConeSpec,
         out.extend(np.asarray(a, np.float64).tobytes())
 
     def w_amatrix(M, upper_only=False):
-        colptr, rowidx, vals = _dense_to_csc(np.asarray(M), upper_only)
+        from .ops.sparse import is_sparse, sparse_to_csc
+        if is_sparse(M):
+            colptr, rowidx, vals = sparse_to_csc(M, upper_only)
+        else:
+            colptr, rowidx, vals = _dense_to_csc(np.asarray(M), upper_only)
         w_int(M.shape[0], M.shape[1])
         w_ints(colptr)
         w_floats(vals)

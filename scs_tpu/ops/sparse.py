@@ -669,3 +669,59 @@ def sparse_from_dense(A, bm: int = 8, bn: int = 128,
 def scale_sparse(A: SparseA, D, E) -> SparseA:
     """diag(D) @ A @ diag(E), applied to all stored parts."""
     return A.scale(D, E)
+
+
+def sparse_to_csc(A: "SparseA", upper_only: bool = False):
+    """Extract (colptr, rowidx, vals) CSC triplets from a SparseA,
+    host-side, O(nnz log nnz) (one lexsort), never materializing dense.
+
+    This is the sparse-operand path of the SCS interchange writer
+    (rw.c:574-603 writes CSC directly; the blocked-ELL + dense-tail
+    operand has no contiguous CSC view, so the writer rebuilds one).
+    Entries that are exactly 0.0 inside a stored tile are dropped — the
+    format stores exactly nnz, and explicit zeros carry no semantics.
+    upper_only keeps row <= col (the P operand's upper-tri contract,
+    scs_matrix.c:65-157)."""
+    import numpy as np
+
+    m, n = A.shape
+    rows_l, cols_l, vals_l = [], [], []
+
+    ell = A.fwd
+    data = np.asarray(ell.data)
+    idx = np.asarray(ell.idx).astype(np.int64)
+    nbr, bm, _ = data.shape
+    kmax, bn = ell.kmax, ell.bn
+    d4 = data.reshape(nbr, bm, kmax, bn)
+    br, r, e, cb = np.nonzero(d4)
+    rows_l.append(br * bm + r)
+    cols_l.append(idx[br, e] * bn + cb)
+    vals_l.append(d4[br, r, e, cb])
+
+    if A.rows_val is not None:
+        rv = np.asarray(A.rows_val)
+        rr, cc = np.nonzero(rv)
+        rows_l.append(np.asarray(A.rows_idx, np.int64)[rr])
+        cols_l.append(cc.astype(np.int64))
+        vals_l.append(rv[rr, cc])
+    if A.cols_val is not None:
+        cv = np.asarray(A.cols_val)
+        rr, cc = np.nonzero(cv)
+        rows_l.append(rr.astype(np.int64))
+        cols_l.append(np.asarray(A.cols_idx, np.int64)[cc])
+        vals_l.append(cv[rr, cc])
+
+    rows = np.concatenate(rows_l) if rows_l else np.zeros(0, np.int64)
+    cols = np.concatenate(cols_l) if cols_l else np.zeros(0, np.int64)
+    vals = np.concatenate(vals_l) if vals_l else np.zeros(0, np.float64)
+    # blocked-ELL pads the row/col space up to block multiples
+    keep = (rows < m) & (cols < n)
+    if upper_only:
+        keep &= rows <= cols
+    rows, cols, vals = rows[keep], cols[keep], vals[keep]
+
+    order = np.lexsort((rows, cols))
+    rows, cols, vals = rows[order], cols[order], vals[order]
+    colptr = np.zeros(n + 1, np.int64)
+    colptr[1:] = np.cumsum(np.bincount(cols, minlength=n))
+    return colptr, rows, np.asarray(vals, np.float64)

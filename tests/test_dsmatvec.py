@@ -10,6 +10,8 @@ import jax.numpy as jnp
 import scs_tpu  # noqa: F401  (x64 + matmul precision config)
 from scs_tpu.ops import dsmatvec
 
+pytestmark = pytest.mark.smoke
+
 
 def test_two_sum_exact():
     rng = np.random.RandomState(0)

@@ -13,8 +13,9 @@ from scs_tpu.models import gen_planted
 from scs_tpu.types import ConeData, ConeSpec, Settings
 from scs_tpu.utils import native
 
-pytestmark = pytest.mark.skipif(native.load() is None,
-                                reason="native library unavailable")
+pytestmark = [pytest.mark.skipif(native.load() is None,
+                                 reason="native library unavailable"),
+              pytest.mark.smoke]
 
 FIXTURES = sorted(
     f for f in glob.glob("/root/reference/test/problems/*")

@@ -17,8 +17,9 @@ from scs_tpu.types import ConeData, ConeSpec, Settings
 from helpers import verify_solution
 from ref_data import REF, available, problem_from_header
 
-pytestmark = pytest.mark.skipif(not available(),
-                                reason="reference tree unavailable")
+pytestmark = [pytest.mark.skipif(not available(),
+                                 reason="reference tree unavailable"),
+              pytest.mark.slow]   # builds the reference C binary
 
 MAX_BOX = 1e20  # the reference fixtures use 1e20 as +-inf box bounds
 

@@ -5,6 +5,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from scs_tpu.solver import root_plus
+import pytest
+
+pytestmark = pytest.mark.smoke
 
 F64 = jnp.float64
 

@@ -193,6 +193,37 @@ def test_solve_with_logdet_cone():
     assert info.status_val == config.SOLVED, info.status
 
 
+def test_logdet_csv_spectral_columns(tmp_path):
+    """The CSV trace's spectral columns (rw.c:854-859) carry the KKT
+    residuals of the current logdet projection — finite, and within the
+    wrapper's gate tolerances at convergence (r3 verdict missing #6)."""
+    import csv as csv_mod
+    spec = ConeSpec(l=4, d=(3,))
+    p = gen_planted(spec, n=10, seed=107, density=0.5)
+    fname = str(tmp_path / "logdet.csv")
+    sol, info = scs_tpu.solve(p.problem, spec, p.cone_data,
+                              Settings(max_iters=20000,
+                                       log_csv_filename=fname))
+    assert info.status_val == config.SOLVED
+    rows = list(csv_mod.DictReader(open(fname)))
+    assert rows
+    last = rows[-1]
+    d = float(last["res_dual_spectral"])
+    pr = float(last["res_pri_spectral"])
+    c = float(last["comp_spectral"])
+    assert np.isfinite([d, pr, c]).all(), (d, pr, c)
+    # gating tolerances of log_cone_wrapper.c:8-12
+    assert d < 1e-2 and pr < 1e-2 and abs(c) < 1e-2, (d, pr, c)
+    # a problem WITHOUT spectral cones keeps the columns NaN
+    spec2 = ConeSpec(l=6)
+    p2 = gen_planted(spec2, n=5, seed=3)
+    f2 = str(tmp_path / "plain.csv")
+    scs_tpu.solve(p2.problem, spec2, p2.cone_data,
+                  Settings(log_csv_filename=f2))
+    rows2 = list(csv_mod.DictReader(open(f2)))
+    assert rows2 and np.isnan(float(rows2[-1]["res_dual_spectral"]))
+
+
 def test_log_cone_ipm_direct():
     """The IPM must solve projections to KKT tolerance standalone (it is
     the accuracy fallback; log_cone_IPM.c:338-713)."""
