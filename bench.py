@@ -86,8 +86,8 @@ _FALLBACK_SCS_ITERS_PER_SEC = 12_500.0
 # "Measured on one TPU v5 lite chip" and docs/PERFORMANCE.md when a real
 # TPU run improves it.
 _LAST_TPU_MEASUREMENT = {
-    "value": 44646.7, "vs_baseline": 2.88, "batch": 1024,
-    "date": "2026-08-20", "source": "README.md / docs/PERFORMANCE.md",
+    "value": 51352.9, "vs_baseline": 3.46, "batch": 1024,
+    "date": "2026-08-20", "source": "BENCH_r03.json",
 }
 
 _SCS_BUILD = "/tmp/scs_bench_build"
@@ -312,6 +312,11 @@ def run_bench(baseline):
         if roof.get("frac_spec"):
             out["roofline_frac_spec"] = round(roof["frac_spec"], 3)
             out["roofline_spec_peak_gbps"] = roof["peak_gbps"]
+        # independent corroboration of the measured streaming wall
+        # (r3 verdict weak #2): XLA-codegen kernels vs the Pallas probe
+        for k in ("xla_copy_total_gbps", "xla_rowsum_gbps"):
+            if roof.get(k):
+                out["roofline_" + k] = round(roof[k], 1)
     print(json.dumps(out))
 
 

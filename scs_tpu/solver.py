@@ -706,6 +706,40 @@ def make_step(spec: ConeSpec, stg: Settings):
     return check_step, update_work_cache
 
 
+def make_moreau_repolish(spec: ConeSpec):
+    """One full-f64 Moreau re-projection of the dual block at termination.
+
+    The mixed fast phase projects exp/power cones in f32 (f64 exp/log are
+    software-emulated on TPU), leaving the returned (s, y) in-cone only
+    to ~1e-6*scale — above the reference test suite's 1e-5 cone-distance
+    bound — without forcing the (expensive) f64 ADMM polish phase that
+    the PSD family needs. This restores the reference's construction-
+    exact invariants (s in K, y in K*, s'y = 0 up to f64 round-off;
+    SURVEY.md section 0) with ONE f64 cone projection: the last
+    projection argument w is reconstructed from the carried Moreau split
+    rsk_y = R_y (u_y - w)  =>  w = u_y - rsk_y / R_y, re-projected in
+    f64, and both halves of the split are rewritten. Idempotent (up to
+    round-off) for lanes that already ended on an f64 projection.
+    Residuals downstream (final_fn / _finalize) are recomputed from the
+    updated split, so reported Info stays consistent with the returned
+    iterate."""
+
+    def repolish(data, st: "LoopState") -> "LoopState":
+        m, n = data.A.shape
+        r_y = st.diag_r[n:n + m]
+        u_y = st.u[n:n + m]
+        rsk_y = st.rsk[n:n + m]
+        w = u_y - rsk_y / r_y
+        y_new, box_t = proj_dual_cone(w, spec, data.cone, st.box_t_warm,
+                                      r_y, psd_f32=False)
+        rsk_new = (y_new - w) * r_y
+        return dataclasses.replace(
+            st, u=st.u.at[n:n + m].set(y_new),
+            rsk=st.rsk.at[n:n + m].set(rsk_new), box_t_warm=box_t)
+
+    return repolish
+
+
 def make_loop(spec: ConeSpec, stg: Settings):
     """Build loop(data, st, iter_cap) -> st: run until termination or cap.
 
@@ -962,7 +996,17 @@ def make_batched_loop(spec: ConeSpec, stg: Settings):
                 st_new = run_core(st)
             return k + 1, _mask_lanes(st_new, st, active)
 
-        body = macro_body if macro <= _MACRO_CAP else body_fn
+        # macro_schedule: None = auto (macro when the unrolled length is
+        # small), False = force the per-step cond body (a far smaller
+        # compiled program — the macro inlines every sub-step, which for
+        # op-heavy cone pipelines like the branchless exp solver
+        # multiplies compile time by ~the macro length; over a remote-TPU
+        # link that is minutes), True = force the macro
+        if stg.macro_schedule is None:
+            use_macro = macro <= _MACRO_CAP
+        else:
+            use_macro = bool(stg.macro_schedule)
+        body = macro_body if use_macro else body_fn
         _, st = jax.lax.while_loop(cond_fn, body, (k0, st))
         return st
 

@@ -90,6 +90,30 @@ class ConeSpec:
     def psize(self) -> int:
         return len(self.p)
 
+    @property
+    def f32_fast_cones(self) -> bool:
+        """True when the mixed fast phase projects some cone in f32:
+        the PSD/spectral family (f32 eigh/SVD) and the exp/power cones
+        (f32 transcendental root-finds — f64 exp/log are software-
+        emulated on TPU and dominate exp-heavy solves)."""
+        return bool(self.s or self.cs or self.d or self.nuc_m
+                    or self.sl_n or self.ep or self.ed or self.p)
+
+    @property
+    def f32_polish_cones(self) -> bool:
+        """True when terminated lanes must take at least one f64 polish
+        leg even at loose eps targets: the PSD/spectral family only.
+        f32 eigh error on a clustered spectrum can reach ~1e-3*scale —
+        above typical 1e-4 targets — so the f64 phase re-projects to
+        restore exact complementarity (s'y = 0 up to f64 round-off,
+        SURVEY.md section 0). Exp/power f32 root-finds are bisection-
+        safeguarded and backward-stable to ~1e-6*scale, well below the
+        fast phase's 1e-5 residual floor, so those lanes polish only
+        when the eps targets themselves lie below the floor (the
+        pre-existing eps branch)."""
+        return bool(self.s or self.cs or self.d or self.nuc_m
+                    or self.sl_n)
+
     def dims(self) -> int:
         """Total number of rows m implied by the cone layout."""
         dd = self.z + self.l + self.bsize
@@ -176,10 +200,21 @@ class Settings:
     # lax.cond runs BOTH branches, so the knob only ADDS cost there.
     psd_rank: int = 0
     # populate Info.lin_sys_time/cone_time/accel_time after each solve
-    # (scs.h:230-236). The compiled solve fuses all phases into one XLA
-    # program, so attribution is per-phase ms (measured standalone, once
-    # per workspace) x phase call counts — estimated, not sampled.
+    # (scs.h:230-236). MEASURED: the solve runs as separate per-phase
+    # dispatches, each wall-clocked on the host (the reference's
+    # accumulated phase timers, scs.c:1380-1393) — slower dispatch
+    # granularity, actual attribution. Under CSV tracing the estimated
+    # attribution (standalone per-phase ms x call counts) is used.
     profile_phases: bool = False
+
+    # batched-loop body selection (solver.make_batched_loop): None = auto
+    # (statically scheduled macro when lcm(acceleration_interval, 25) is
+    # small — peak throughput), False = force the per-step cond body (a
+    # much smaller compiled program: the macro inlines every sub-step,
+    # multiplying compile time by ~the macro length for op-heavy cone
+    # pipelines), True = force the macro. Trajectory-identical either way
+    # (tests/test_macro_loop.py).
+    macro_schedule: Optional[bool] = None
 
 
 @dataclasses.dataclass

@@ -75,6 +75,24 @@ def test_macro_body_matches_fallback_body(interval, monkeypatch):
                                atol=1e-3, rtol=1e-3)
 
 
+def test_macro_schedule_setting():
+    """Settings(macro_schedule=False) forces the per-step body (the
+    compile-latency escape hatch for op-heavy cone pipelines) and stays
+    trajectory-identical to the default macro path."""
+    import jax
+    spec = ConeSpec(l=24, q=(8,))
+    A, _, b, c, bu, bl, opts = _stack_problems(spec, n=12, count=4)
+    res_auto = jax.jit(make_batched_solve_fn(
+        spec, Settings(), has_P=False))(A, b, c, bu, bl)
+    res_force = jax.jit(make_batched_solve_fn(
+        spec, Settings(macro_schedule=False), has_P=False))(A, b, c, bu, bl)
+    assert np.array_equal(np.asarray(res_auto.iters),
+                          np.asarray(res_force.iters))
+    np.testing.assert_allclose(np.asarray(res_auto.x),
+                               np.asarray(res_force.x), **_iterate_tols())
+    assert np.all(np.asarray(res_force.status) == config.SOLVED)
+
+
 def test_unusual_interval_uses_fallback_and_solves():
     """lcm(7, 25) = 175 > _MACRO_CAP: the driver must fall back to the
     per-step body and still solve correctly with AA at cadence 7."""
