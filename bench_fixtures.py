@@ -141,6 +141,9 @@ def run_ours_batched(path: str, B: int):
     bl = jnp.broadcast_to(cone_data.bl[None], (B, nb))
     ws = BatchWorkspace(spec, stgs, A, P, bB, c, bu, bl)
     np.asarray(ws.solve().iters)   # warmup: compile + first cold solve
+    np.asarray(ws.solve().iters)   # warmup: compile the restart program
+    del ws                         # free device state before the timed
+    # workspace (two live workspaces at B=4096 can exhaust HBM)
     # cold timing: a fresh workspace state via restart is not exposed;
     # re-create (setup cost excluded from the timed window)
     ws_cold = BatchWorkspace(spec, stgs, A, P, bB, c, bu, bl)
@@ -184,7 +187,10 @@ def main():
     # fixtures (mpc LPs 120x45, random_prob 130x43) take 4096 lanes
     # trivially; max_ent (1501x900, dense Cholesky per lane) is
     # memory-bound near 64
-    batch_B = {"max_ent": 64}
+    # random_prob at B=4096 reproducibly crashed the remote TPU worker
+    # during the warm-leg device_put (twice); 1024 is stable and within
+    # ~15% of the 4096 amortization
+    batch_B = {"max_ent": 64, "random_prob": 1024}
     batch_default = 4096
     log("building reference run_from_file_direct...")
     binary = build_reference()

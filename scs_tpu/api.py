@@ -221,11 +221,16 @@ class Workspace:
             mixed=self._mixed)
         self._check_convexity()
         self._runner = _cached_runner(spec, _compile_key(stg))
-        # Mixed precision floors around ~1e-5 true residuals; a pure-f64
-        # polish phase continues from the fast phase's state whenever the
-        # targets (tight eps, 1e-7 certificates) lie below that floor.
-        self._polish_stg = (dataclasses.replace(stg, mixed_precision=False)
-                            if self._mixed else None)
+        # Mixed precision floors around ~1e-5 true residuals; an
+        # f64-accuracy polish phase continues from the fast phase's state
+        # whenever the targets (tight eps, 1e-7 certificates) lie below
+        # that floor. Direct backend: keep the mixed linear solver and
+        # run cones/AA in f64 (parallel.batch._polish_settings rationale:
+        # pure-f64 triangular solves are software-emulated on TPU at
+        # ~25x the step cost); indirect keeps the pure-f64 CG polish.
+        self._polish_stg = (dataclasses.replace(
+            stg, mixed_precision=True, cone_f32=False)
+            if self._mixed else None)
         self._finalizer = _cached_finalizer(spec)
         # exp/power cones project in f32 on the mixed fast phase without
         # forcing the f64 ADMM polish; one f64 Moreau re-projection at
@@ -438,11 +443,15 @@ class Workspace:
         # phase 1 is just different ProblemData — no recompile.
         if self._mixed:
             floor = jnp.asarray(config.MIXED_FAST_FLOOR, stg.dtype)
+            # certificates gate at the tighter MIXED_CERT_FLOOR: residuals
+            # are ds-f64-accurate even in the fast phase, and a loose cert
+            # threshold fires spuriously on ~solved iterates (config.py)
+            cert_floor = jnp.asarray(config.MIXED_CERT_FLOOR, stg.dtype)
             data1 = dataclasses.replace(
                 self.data,
                 eps_abs=jnp.maximum(self.data.eps_abs, floor),
                 eps_rel=jnp.maximum(self.data.eps_rel, floor),
-                eps_infeas=jnp.maximum(self.data.eps_infeas, floor))
+                eps_infeas=jnp.maximum(self.data.eps_infeas, cert_floor))
             phases = [(self._runner, data1), (None, self.data)]
         else:
             phases = [(self._runner, self.data)]
@@ -456,7 +465,7 @@ class Workspace:
                     if not proceed:
                         break
                     polished = True
-                    cur_key = _compile_key(self._polish_stg)
+                    cur_key = _compile_key(self._active_polish_stg)
                     runner = _cached_runner(self.spec, cur_key)
                 while True:
                     it, status = map(int,
@@ -573,13 +582,25 @@ class Workspace:
                 needs = (stg.eps_abs < floor or stg.eps_rel < floor
                          or has_psd)
             elif status in (config.INFEASIBLE, config.UNBOUNDED):
-                needs = stg.eps_infeas < floor or has_psd
+                needs = (stg.eps_infeas < config.MIXED_CERT_FLOOR
+                         or has_psd)
             elif status == config.UNFINISHED:
                 needs = True
         if not needs:
             return st, False
-        derived = self.backend.derive(self._mats(), st.diag_r, st.scale,
-                                      mixed=False)
+        if (status == config.SOLVED
+                and stg.eps_abs >= config.MIXED_FAST_FLOOR
+                and stg.eps_rel >= config.MIXED_FAST_FLOOR):
+            # PSD-exactness-only polish: exp/power stay f32 (finalize's
+            # Moreau re-projection restores their exactness; f64
+            # transcendentals are emulated at ~20x the step cost)
+            self._active_polish_stg = dataclasses.replace(
+                self._polish_stg, exp_f32=True)
+        else:
+            self._active_polish_stg = self._polish_stg
+        derived = self.backend.derive(
+            self._mats(), st.diag_r, st.scale,
+            mixed=resolve_mixed(self._active_polish_stg))
         h = jnp.concatenate([self.data.c, -self.data.b])
         g, _ = self.backend.solve(self._mats(), st.diag_r, derived, h, None,
                                   jnp.asarray(config.CG_BEST_TOL, stg.dtype))

@@ -147,6 +147,7 @@ _SETTING_NAMES = {
     "linsys", "dtype", "chunk_iters", "acceleration_type_1",
     "acceleration_regularization", "acceleration_relaxation",
     "mixed_precision", "profile_phases", "psd_rank", "macro_schedule",
+    "cone_f32", "exp_f32",
 }
 
 

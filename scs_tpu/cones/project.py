@@ -108,13 +108,23 @@ def proj_cone(x: jnp.ndarray, spec: ConeSpec, cone_data: ConeData,
               box_t_warm, r_y: Optional[jnp.ndarray],
               psd_f32: bool = False,
               psd_warm: Optional[jnp.ndarray] = None,
-              psd_rank: int = 0):
+              psd_rank: int = 0,
+              exp_f32: Optional[bool] = None):
     """Project x onto the primal cone K (in the r_y-inverse metric for box).
 
     Returns (projected x, new box warm start). All offsets static.
     psd_warm (same layout as x) carries the previous iteration's INNER
     projection for the subspace-tracked PSD path (Settings.psd_rank).
+    exp_f32 controls the exp/power transcendental precision separately
+    from the PSD eigh precision (None = follow psd_f32): the polish
+    phase needs f64 eigh for PSD exactness but can keep f32 exp/power
+    root-finds when the eps targets sit at/above the fast floor — the
+    finalize-time Moreau re-projection restores their exactness, and
+    f64 exp/log are software-emulated on TPU (measured ~20x the step
+    cost on exp-heavy polish legs).
     """
+    if exp_f32 is None:
+        exp_f32 = psd_f32
     lay = ConeLayout.make(spec)
     assert x.shape[0] == lay.total, (x.shape, lay.total)
     parts = []
@@ -181,7 +191,7 @@ def proj_cone(x: jnp.ndarray, spec: ConeSpec, cone_data: ConeData,
     n_exp = spec.ep + spec.ed
     if n_exp:
         seg = x[lay.exp_off:lay.exp_off + 3 * n_exp].reshape(n_exp, 3)
-        if psd_f32:
+        if exp_f32:
             seg = seg.astype(jnp.float32)
         primal_mask = jnp.asarray(
             np.arange(n_exp) < spec.ep, dtype=bool)
@@ -189,7 +199,7 @@ def proj_cone(x: jnp.ndarray, spec: ConeSpec, cone_data: ConeData,
             exp.proj_exp_batch(seg, primal_mask).astype(x.dtype).reshape(-1))
     if spec.psize:
         seg = x[lay.pow_off:lay.pow_off + 3 * spec.psize].reshape(spec.psize, 3)
-        if psd_f32:
+        if exp_f32:
             seg = seg.astype(jnp.float32)
         a = jnp.asarray(np.asarray(spec.p), dtype=seg.dtype)
         parts.append(
@@ -234,7 +244,8 @@ def proj_dual_cone(x: jnp.ndarray, spec: ConeSpec, cone_data: ConeData,
                    box_t_warm, r_y: Optional[jnp.ndarray],
                    psd_f32: bool = False,
                    psd_warm: Optional[jnp.ndarray] = None,
-                   psd_rank: int = 0):
+                   psd_rank: int = 0,
+                   exp_f32: Optional[bool] = None):
     """Moreau decomposition under the diagonal R metric (cones.c:1552-1596):
 
         Pi_C^R(x) = x + R^{-1} Pi_{C*}^{R^{-1}}(-R x)
@@ -245,6 +256,6 @@ def proj_dual_cone(x: jnp.ndarray, spec: ConeSpec, cone_data: ConeData,
     xr = -x if r_y is None else -x * r_y
     proj, new_warm = proj_cone(xr, spec, cone_data, box_t_warm, r_y,
                                psd_f32=psd_f32, psd_warm=psd_warm,
-                               psd_rank=psd_rank)
+                               psd_rank=psd_rank, exp_f32=exp_f32)
     out = proj + s if r_y is None else proj / r_y + s
     return out, new_warm

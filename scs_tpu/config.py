@@ -52,8 +52,18 @@ AA_MAX_WEIGHT_NORM = 1e10
 
 # -- mixed precision (TPU-specific; no reference analog) --
 # True-residual floor of the f32-fast phase; targets below it trigger the
-# pure-f64 polish phase (see api.Workspace.solve).
+# f64-accuracy polish phase (see api.Workspace.solve).
 MIXED_FAST_FLOOR = 1e-5
+# Certificate (infeasible/unbounded) threshold floor for the fast phase.
+# Residuals are COMPUTED in double-single f64 accuracy even in the fast
+# phase, so the certificate test can gate much tighter than the iterate's
+# achievable residual floor. A loose cert floor (the 1e-5 fast floor)
+# fired spuriously on ~solved lanes — eps_infeas floored up 100x from the
+# default 1e-7 — freezing them mid-convergence and finishing their solve
+# in the expensive polish phase (measured: most of a warm batched
+# re-solve's wall). Truly infeasible lanes drive the ds-f64 certificate
+# residual below 1e-6 in the fast phase without difficulty.
+MIXED_CERT_FLOOR = 1e-6
 
 # -- conjugate gradient (indirect linear solver; glbopts.h:246-257) --
 CG_BEST_TOL = 1e-12

@@ -190,11 +190,35 @@ def _floored_data(data: ProblemData, dtype) -> ProblemData:
     """Fast-phase targets: tolerances floored at the mixed path's true-
     residual floor (see api.Workspace.solve's two-phase strategy)."""
     floor = jnp.asarray(config.MIXED_FAST_FLOOR, dtype)
+    cert_floor = jnp.asarray(config.MIXED_CERT_FLOOR, dtype)
     return dataclasses.replace(
         data,
         eps_abs=jnp.maximum(data.eps_abs, floor),
         eps_rel=jnp.maximum(data.eps_rel, floor),
-        eps_infeas=jnp.maximum(data.eps_infeas, floor))
+        eps_infeas=jnp.maximum(data.eps_infeas, cert_floor))
+
+
+def _polish_settings(stg: Settings, exactness_only: bool = False) -> Settings:
+    """Settings for the f64-accuracy polish phase.
+
+    KEEP the mixed linear solver — direct: f32 inverse-apply +
+    double-single refinement (pure-f64 triangular solves are software-
+    emulated on TPU at ~25x the cost); indirect: f32 CG + f64 iterative
+    refinement on double-single matvecs (a pure-f64 CG runs every matvec
+    on the ~12 GB/s emulated-f64 path, measured ~27x the fast-phase step
+    cost on the reference fixtures) — and run the cones in f64
+    (cone_f32=False). AA gammas stay f32 with the mixed solver
+    (solver._build_iteration rationale). Convergence is judged by the
+    independent double-single f64 residuals in both modes."""
+    return dataclasses.replace(
+        stg, mixed_precision=True, cone_f32=False,
+        # PSD-exactness-only polish: exp/power stay f32 (their
+        # exactness comes from the finalize Moreau re-projection;
+        # f64 exp/log are emulated at ~20x the step cost) — but any
+        # below-floor target needs true f64 transcendentals to
+        # converge, and certificate pursuit below MIXED_CERT_FLOOR
+        # needs f64-grade cone output too
+        exp_f32=True if exactness_only else None)
 
 
 def make_repair_fn(spec: ConeSpec, stg: Settings):
@@ -205,7 +229,10 @@ def make_repair_fn(spec: ConeSpec, stg: Settings):
 
     def repair(data: ProblemData, st):
         mats = Mats(data.A, data.P, data.A32, data.P32, data.lin_cache)
-        derived = backend.derive(mats, st.diag_r, st.scale, mixed=False)
+        # stg here is the POLISH settings (_polish_settings): mixed
+        # refined linsys on the direct backend, pure f64 on indirect
+        derived = backend.derive(mats, st.diag_r, st.scale,
+                                 mixed=resolve_mixed(stg))
         h = jnp.concatenate([data.c, -data.b])
         g, _ = backend.solve(mats, st.diag_r, derived, h, None,
                              jnp.asarray(config.CG_BEST_TOL, h.dtype))
@@ -221,7 +248,8 @@ def make_repair_fn(spec: ConeSpec, stg: Settings):
                            | has_f32))
         cert_tight = (((st.status == config.INFEASIBLE)
                        | (st.status == config.UNBOUNDED))
-                      & ((data.eps_infeas < floor) | has_f32))
+                      & ((data.eps_infeas < config.MIXED_CERT_FLOOR)
+                         | has_f32))
         needs = solved_tight | cert_tight
         status = jnp.where(needs, jnp.zeros((), jnp.int32), st.status)
         # the polish phase restarts the batched runner's lockstep counter
@@ -312,7 +340,7 @@ def make_pure_solver(spec: ConeSpec, stg: Settings,
     cap = stg.max_iters if max_iters is None else max_iters
     mixed = resolve_mixed(stg)
     if mixed:
-        stg2 = dataclasses.replace(stg, mixed_precision=False)
+        stg2 = _polish_settings(stg)
         _, chunk2_fn, _ = make_solver_parts(spec, stg2)
         repair_fn = make_repair_fn(spec, stg2)
 
@@ -357,7 +385,7 @@ def make_batched_solve_fn(spec: ConeSpec, stg: Settings,
     cap = stg.max_iters if max_iters is None else max_iters
     mixed = resolve_mixed(stg)
     if mixed:
-        stg2 = dataclasses.replace(stg, mixed_precision=False)
+        stg2 = _polish_settings(stg)
         loop2_b = make_batched_loop(spec, stg2)
         repair_b = jax.vmap(make_repair_fn(spec, stg2))
 
@@ -435,7 +463,7 @@ def _chunk_machinery(spec: ConeSpec, stg: Settings, has_P: bool = False):
     # root-finds stay below the floor and do not force a polish)
     solved_tight_possible = ((stg.eps_abs < floor) or (stg.eps_rel < floor)
                              or has_f32)
-    cert_tight_possible = (stg.eps_infeas < floor) or has_f32
+    cert_tight_possible = ((stg.eps_infeas < config.MIXED_CERT_FLOOR) or has_f32)
 
     def _level(data, st, iter_cap, stop_alive, k_budget, valid):
         """One level dispatch. Returns (st, alive-mask, needs-polish-mask)
@@ -459,7 +487,7 @@ def _chunk_machinery(spec: ConeSpec, stg: Settings, has_P: bool = False):
 
     _debug = bool(os.environ.get("SCS_TPU_LEVEL_DEBUG"))
 
-    def run_phase(level_kernel, data, st, cap_total):
+    def run_phase(level_kernel, data, st, cap_total, entry_alive=None):
         """Level-based dispatch with straggler compaction.
 
         The batched loop runs every lane until the slowest terminates, so
@@ -474,7 +502,15 @@ def _chunk_machinery(spec: ConeSpec, stg: Settings, has_P: bool = False):
         trips over the remote-TPU tunnel.) Rows leaving the work set are
         scattered back once, when they leave.
 
-        Returns (st, needs_polish_any).
+        entry_alive: optional host (B,) bool of lanes known to be active
+        at phase entry. The POLISH phase passes the fast phase's per-lane
+        needs flags: often only a few lanes of a large batch polish
+        (spurious fast-floor infeasibility certificates), and without
+        entry compaction the first polish dispatch would step the FULL
+        bucket with >90% frozen lanes for up to `budget` sub-steps.
+
+        Returns (st, needs_full) — needs_full a host (B,) bool of lanes
+        whose termination requires the f64 polish phase.
         """
         budget = 8 * max(stg.chunk_iters, 25)
         B = st.status.shape[0]
@@ -488,7 +524,22 @@ def _chunk_machinery(spec: ConeSpec, stg: Settings, has_P: bool = False):
         valid = jnp.ones((B,), bool)
         cap_a = jnp.asarray(cap_total, jnp.int32)
         budget_a = jnp.asarray(budget, jnp.int32)
-        needs_any = False
+        needs_full = np.zeros(B, bool)
+        if entry_alive is not None:
+            act0 = np.nonzero(np.asarray(entry_alive))[0]
+            if act0.size == 0:
+                return st, needs_full
+            eb = max(1 << (int(act0.size) - 1).bit_length(), 8)
+            if eb < B:
+                min_bucket = min(min_bucket, eb)
+                act = act0
+                bucket = eb
+                pad = np.concatenate(
+                    [act, np.repeat(act[:1], bucket - act.size)])
+                take = jnp.asarray(pad)
+                data_c = jax.tree.map(lambda a: a[take], data)
+                st_c = jax.tree.map(lambda a: a[take], st)
+                valid = jnp.asarray(np.arange(bucket) < act.size)
 
         def scatter_rows(st_full, st_work, rows, full_idx):
             take = jnp.asarray(rows)
@@ -503,21 +554,29 @@ def _chunk_machinery(spec: ConeSpec, stg: Settings, has_P: bool = False):
             st_c, alive, needs = level_kernel(data_c, st_c, cap_a,
                                               jnp.asarray(stop, jnp.int32),
                                               budget_a, valid)
-            alive_np, needs_np = jax.device_get((alive, needs))
+            if _debug:
+                alive_np, needs_np, it_dbg, cad_dbg = jax.device_get(
+                    (alive, needs, st_c.iter, st_c.cadence))
+            else:
+                alive_np, needs_np = jax.device_get((alive, needs))
             sub = np.nonzero(alive_np[:act.size])[0]
             # a settled lane's status (hence needs flag) is frozen, so
             # OR-ing every level's flags over the current work set sees
             # each lane's final value at least once before it leaves
-            needs_any = needs_any or bool(needs_np[:act.size].any())
+            needs_full[act[np.nonzero(needs_np[:act.size])[0]]] = True
             if _debug:
+                iv = it_dbg[:act.size]
+                cv = cad_dbg[:act.size]
                 print(f"[level] bucket={bucket} alive={sub.size} "
-                      f"wall={_time.perf_counter() - t0:.3f}s", flush=True)
+                      f"wall={_time.perf_counter() - t0:.3f}s "
+                      f"iter=[{iv.min()},{iv.max()}] "
+                      f"cadence=[{cv.min()},{cv.max()}]", flush=True)
             if sub.size == 0:
                 if bucket < B:
                     st = scatter_rows(st, st_c, np.arange(act.size), act)
                 else:
                     st = st_c
-                return st, needs_any
+                return st, needs_full
             new_bucket = max(1 << (int(sub.size) - 1).bit_length(),
                              min_bucket)
             if new_bucket < bucket:
@@ -547,28 +606,56 @@ def _chunk_machinery(spec: ConeSpec, stg: Settings, has_P: bool = False):
 
         # fast phase at floored targets; the level pulls already carried
         # the per-lane needs-polish flags (no extra status round trip)
-        st, needs_any = run_phase(
+        st, needs_full = run_phase(
             level_b, _floored_data(data, st.u.dtype), st, cap_total)
-        # lazy polish phase: compile the f64 program only if some lane's
-        # true targets lie below the fast floor AND its status needs it
-        if needs_any:
-            if not polish:
-                stg2 = dataclasses.replace(stg, mixed_precision=False)
+        # lazy polish phase: compile the f64-accuracy program only if some
+        # lane's true targets lie below the fast floor AND its status
+        # needs it
+        if needs_full.any():
+            # polish program selection (lazily compiled per kind): if
+            # every entrant is a SOLVED lane and eps_abs/rel sit at or
+            # above the fast floor, the polish exists only to restore
+            # PSD exactness — exp/power stay f32 (f64 transcendentals
+            # are emulated at ~20x the step cost and the finalize Moreau
+            # re-projection restores their exactness). Certificate
+            # entrants or below-floor targets get the full-f64-cone
+            # program. Status pull is (B,) int32 — negligible.
+            stat = np.asarray(jax.device_get(st.status))
+            cert_entrant = bool(np.isin(
+                stat[needs_full],
+                (config.INFEASIBLE, config.UNBOUNDED)).any())
+            exact_ok = (not cert_entrant
+                        and stg.eps_abs >= config.MIXED_FAST_FLOOR
+                        and stg.eps_rel >= config.MIXED_FAST_FLOOR)
+            kind = "exact" if exact_ok else "full"
+            if _debug:
+                vals, cnts = np.unique(stat, return_counts=True)
+                print(f"[polish] needs={int(needs_full.sum())} kind={kind} "
+                      f"fast-end statuses={dict(zip(vals.tolist(), cnts.tolist()))}",
+                      flush=True)
+            if kind not in polish:
+                stg2 = _polish_settings(stg, exactness_only=(kind == "exact"))
                 loop2_b = make_batched_loop(spec, stg2)
 
                 def _level2(data, st, iter_cap, stop_alive, k_budget,
-                            valid):
+                            valid, loop2_b=loop2_b):
                     st = loop2_b(data, st, iter_cap, stop_alive, k_budget,
                                  valid)
                     alive = ((st.status == config.UNFINISHED)
                              & (st.iter < iter_cap))
                     return st, alive & valid, jnp.zeros_like(alive)
 
-                polish["level"] = jax.jit(_level2)
-                polish["repair"] = jax.jit(
-                    jax.vmap(make_repair_fn(spec, stg2)))
+                polish[kind] = jax.jit(_level2)
+                if "repair" not in polish:
+                    polish["repair"] = jax.jit(
+                        jax.vmap(make_repair_fn(spec, stg2)))
             st = polish["repair"](data, st)
-            st, _ = run_phase(polish["level"], data, st, cap_total)
+            # entry compaction: usually only a few lanes polish (e.g.
+            # spurious infeasibility certificates at the floored
+            # eps_infeas); stepping the full bucket with them frozen
+            # dominated warm re-solve walls
+            st, _ = run_phase(polish[kind], data, st, cap_total,
+                              entry_alive=needs_full)
         if final_rp_b is not None:
             result, st = final_rp_b(data, st)
             return result, st
@@ -607,6 +694,16 @@ def make_chunked_batch_solver(spec: ConeSpec, stg: Settings,
     return solve
 
 
+@functools.lru_cache(maxsize=32)
+def _update_jit(stg: Settings):
+    return jax.jit(jax.vmap(make_update_fn(stg)))
+
+
+@functools.lru_cache(maxsize=32)
+def _restart_jit(spec: ConeSpec, stg: Settings, warm: bool):
+    return jax.jit(jax.vmap(make_restart_fn(spec, stg, warm)))
+
+
 class BatchWorkspace:
     """Batched analog of api.Workspace: equilibrate + factor a batch of
     problems once, then update b/c and warm re-solve without paying setup
@@ -638,11 +735,14 @@ class BatchWorkspace:
         if bl is None:
             bl = jnp.zeros((B, k), dtype)
         init_b, _, self._solve_from = _chunk_machinery(spec, stg, has_P)
-        self._update_b = jax.jit(jax.vmap(make_update_fn(stg)))
-        self._restart = {
-            w: jax.jit(jax.vmap(make_restart_fn(spec, stg, w)))
-            for w in (False, True)
-        }
+        # jits shared across instances (lru by (spec, stg), like
+        # _chunk_machinery): a fresh per-instance jax.jit re-loads the
+        # compiled executable onto the remote device even on a
+        # compilation-cache hit — measured at seconds per program over
+        # the tunnel, which dominated warm re-solve timings
+        self._update_b = _update_jit(stg)
+        self._restart = {w: _restart_jit(spec, stg, w)
+                         for w in (False, True)}
         arrays = [A, jnp.asarray(b, dtype), jnp.asarray(c, dtype),
                   jnp.asarray(bu, dtype), jnp.asarray(bl, dtype)]
         if has_P:

@@ -404,6 +404,16 @@ def _build_iteration(spec: ConeSpec, stg: Settings):
     """Internal: (plain_step, check_step, update_work_cache, StepBlocks)."""
     backend = get_backend(stg.linsys)
     mixed = resolve_mixed(stg)
+    # f32 cone projections follow the mixed flag unless overridden
+    # (Settings.cone_f32): the direct-backend polish phase runs f64
+    # cones over the MIXED refined linear solver. AA gammas track
+    # `mixed` itself, NOT the cone override: f64 AA linear algebra runs
+    # on the software-emulated f64 matmul path (measured ~26x the
+    # per-step cost at B=1024 — the round-3 bottleneck), and AA is a
+    # safeguarded accelerator, so f32 gammas never break correctness —
+    # a noisy step is rejected and plain ADMM continues.
+    cone32 = mixed if stg.cone_f32 is None else bool(stg.cone_f32)
+    exp32 = cone32 if stg.exp_f32 is None else bool(stg.exp_f32)
     use_aa = stg.acceleration_lookback > 0
     mem = max(stg.acceleration_lookback, 1)
     is_indirect = stg.linsys == "indirect"
@@ -459,7 +469,7 @@ def _build_iteration(spec: ConeSpec, stg: Settings):
             psd_warm = st.rsk[n:n + m]
         y_proj, box_t = proj_dual_cone(
             u_pre[n:n + m], spec, data.cone, st.box_t_warm,
-            st.diag_r[n:n + m], psd_f32=mixed,
+            st.diag_r[n:n + m], psd_f32=cone32, exp_f32=exp32,
             psd_warm=psd_warm, psd_rank=stg.psd_rank)
         tau = jnp.where(i < config.FEASIBLE_ITERS,
                         jnp.asarray(1.0, u_pre.dtype),

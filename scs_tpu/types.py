@@ -207,6 +207,28 @@ class Settings:
     # attribution (standalone per-phase ms x call counts) is used.
     profile_phases: bool = False
 
+    # f32 cone projections + f32 AA gammas: None = follow the resolved
+    # mixed flag (the fast phase's default). The batched polish phase
+    # sets False while KEEPING the mixed linear solver (f32 inverse-apply
+    # + double-single refinement): pure-f64 triangular solves are
+    # software-emulated on TPU and ran ~25x the fast-phase step cost,
+    # dominating below-floor-target workloads (mpc fixtures at
+    # eps=1e-7). The refined mixed solve reaches ~1e-10-grade residuals
+    # on moderately conditioned systems; convergence is still judged by
+    # the independent double-single f64 residuals, so a system too
+    # ill-conditioned for the refinement simply keeps iterating rather
+    # than terminating wrongly.
+    cone_f32: Optional[bool] = None
+
+    # exp/power transcendental precision, separately from the PSD eigh
+    # precision (None = follow cone_f32/mixed). The polish phase sets
+    # True when its eps targets sit at/above the fast floor (polish
+    # running for PSD exactness only): f32 exp/power root-finds are
+    # ~1e-6-accurate — below such targets — and the finalize-time Moreau
+    # re-projection restores exactness, while f64 exp/log are software-
+    # emulated on TPU at ~20x the cost.
+    exp_f32: Optional[bool] = None
+
     # batched-loop body selection (solver.make_batched_loop): None = auto
     # (statically scheduled macro when lcm(acceleration_interval, 25) is
     # small — peak throughput), False = force the per-step cond body (a
