@@ -121,12 +121,13 @@ def run_ours_batched(path: str, B: int):
     from scs_tpu.parallel import BatchWorkspace
 
     problem, spec, cone_data, stgs = read_scs_data(path)
-    # macro_schedule=False: the per-step loop body compiles ~macro-length
-    # times faster than the unrolled macro — on exp-heavy fixtures
-    # (max_ent: 450 branchless Friberg pipelines inlined 50x) the macro
-    # compile runs >40 min over the remote-TPU link
-    stgs = dataclasses.replace(stgs, verbose=False, chunk_iters=250,
-                               macro_schedule=False)
+    # macro_schedule stays on auto: since round 5 the auto choice is
+    # cost-aware (solver.make_batched_loop prices the macro body by
+    # core-step ops x inlined copies), so exp-heavy fixtures (max_ent:
+    # the branchless Friberg pipeline) fall back to the per-step body by
+    # default instead of hitting a >40-min macro compile over the
+    # remote-TPU link
+    stgs = dataclasses.replace(stgs, verbose=False, chunk_iters=250)
     rng = np.random.RandomState(7)
     b1 = np.asarray(problem.b)
     bB = jnp.asarray(b1[None, :]

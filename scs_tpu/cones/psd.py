@@ -210,20 +210,52 @@ def _cplx_indices(ns: int):
     return diag_idx, re_idx, im_idx, lo_r, lo_c
 
 
+@functools.lru_cache(maxsize=None)
+def _cplx_eigh_ok(dtype_name: str) -> bool:
+    """Does the default backend support a native Hermitian eigh at this
+    complex dtype?
+
+    Static answer, NOT a device probe: only CPU backends (LAPACK
+    zheevd/cheevd) qualify. The TPU backend has no complex support at
+    all, and empirically even ASKING is destructive — a complex64
+    device_put fails with 'Unimplemented' and leaves the axon client
+    unable to issue further dispatches, and a complex128 compile attempt
+    crashes the remote compile worker outright (HTTP 500 from the
+    tunnel's compile helper, taking the chip session down). Measured
+    2026-08-21 on TPU v5 lite; see tests/test_cones.py
+    ::test_cpsd_complex_vs_embedding_parity for the CPU-side parity
+    pin. dtype_name is accepted (and part of the cache key) so a future
+    GPU backend can grow a real probe per dtype."""
+    try:
+        backend = jax.default_backend()
+    except Exception:  # noqa: BLE001
+        return False
+    return backend == "cpu"
+
+
 def proj_cpsd_batch(v: jnp.ndarray, ns: int,
                     f32_eig: bool = False,
                     warm: Optional[jnp.ndarray] = None,
                     psd_rank: int = 0) -> jnp.ndarray:
     """Project (k, ns^2) real-packed vectors onto the complex PSD cone.
 
-    Uses the real embedding of a Hermitian matrix M = Re + i Im:
+    Primary path (round 5): a NATIVE n x n Hermitian eigh (the
+    reference's own design — zheevr on the complex matrix,
+    cones.c:1072-1156), at ~1/4 the flops and 1/2 the memory of the
+    previous 2n x 2n real-embedding formulation. Capability-probed per
+    dtype (_cplx_eigh_ok); backends without complex eigh fall back to
+    the real embedding of M = Re + i Im:
         E(M) = [Re, -Im; Im, Re]  (2ns x 2ns real symmetric)
-    E is a *-algebra homomorphism, so the PSD projection commutes with it:
-    proj(E(M)) = E(proj(M)), with each eigenvalue of M appearing twice.
-    This keeps the projection in real f64 eigh (TPU has no complex128 eigh).
+    (E is a *-algebra homomorphism, so the PSD projection commutes with
+    it, with each eigenvalue of M doubled.) The ACCURATE path on TPU
+    also prefers the embedding when the refined real eigh
+    (ops/eigh_ds.py) is available: its double-single Ogita-Aishima
+    sweeps land at ~1e-9 residuals vs the ~1e-5-grade native
+    approximate-Jacobi eigh — accuracy the complex path cannot match
+    there.
 
-    psd_rank/warm: tracked-rank path as in proj_psd_batch, applied to the
-    real embedding (every complex eigenvalue doubles, so the tracked
+    psd_rank/warm: tracked-rank path as in proj_psd_batch, applied to
+    the real embedding (every complex eigenvalue doubles, so the tracked
     dimension is 2*psd_rank).
     """
     if ns == 1:
@@ -232,7 +264,8 @@ def proj_cpsd_batch(v: jnp.ndarray, ns: int,
     inv_sqrt2 = 1.0 / _SQRT2
     dtype = v.dtype
 
-    def embed(vi):
+    def reim(vi):
+        """Packed vector -> (Re, Im) parts of the Hermitian matrix."""
         Re = jnp.zeros((ns, ns), v.dtype)
         Im = jnp.zeros((ns, ns), v.dtype)
         Re = Re.at[jnp.arange(ns), jnp.arange(ns)].set(vi[diag_idx])
@@ -242,35 +275,62 @@ def proj_cpsd_batch(v: jnp.ndarray, ns: int,
         Re = Re.at[lo_c, lo_r].set(lo_re)
         Im = Im.at[lo_r, lo_c].set(lo_im)
         Im = Im.at[lo_c, lo_r].set(-lo_im)
+        return Re, Im
+
+    def embed(vi):
+        Re, Im = reim(vi)
         return jnp.block([[Re, -Im], [Im, Re]])
 
     def unembed(vi, Ep):
         Re_p = 0.5 * (Ep[:ns, :ns] + Ep[ns:, ns:])
         Im_p = 0.5 * (Ep[ns:, :ns] - Ep[:ns, ns:])
+        return pack(vi, Re_p, Im_p)
+
+    def pack(vi, Re_p, Im_p):
         out = jnp.zeros_like(vi)
         out = out.at[diag_idx].set(jnp.diagonal(Re_p))
         out = out.at[re_idx].set(Re_p[lo_r, lo_c] * _SQRT2)
         out = out.at[im_idx].set(Im_p[lo_r, lo_c] * _SQRT2)
         return out
 
-    E = jax.vmap(embed)(v)
-
-    def _exact(Ex):
-        if f32_eig:
-            # f32 end-to-end on the fast path (see proj_psd_batch)
-            w, V = jnp.linalg.eigh(Ex.astype(jnp.float32))
-        else:
-            w, V = _eigh_accurate(Ex)
-        w = jnp.maximum(w, 0.0)
-        return _reconstruct(V, w, dtype)
-
     if psd_rank and warm is not None and 2 * psd_rank < ns:
+        def _exact_embed(Ex):
+            if f32_eig:
+                w, V = jnp.linalg.eigh(Ex.astype(jnp.float32))
+            else:
+                w, V = _eigh_accurate(Ex)
+            return _reconstruct(V, jnp.maximum(w, 0.0), dtype)
+
+        E = jax.vmap(embed)(v)
         P_prev = jax.vmap(embed)(warm)
         # embed_factor 2: every Hermitian eigenvalue doubles in the
         # real embedding
-        Ep = _tracked_or_exact(E, P_prev, psd_rank, f32_eig, _exact,
-                               dtype, embed_factor=2)
+        Ep = _tracked_or_exact(E, P_prev, psd_rank, f32_eig,
+                               _exact_embed, dtype, embed_factor=2)
         return jax.vmap(unembed)(v, Ep)
 
-    Ep = _exact(E)
+    cplx = jnp.complex64 if f32_eig else jnp.complex128
+    # accurate path on TPU: refined real-embedding eigh beats native
+    # complex eigh on accuracy (docstring); fast path takes complex
+    # whenever the backend has it
+    prefer_embed = (not f32_eig and eigh_ds.supported()
+                    and 2 * ns >= _REFINED_MIN_N)
+    if not prefer_embed and _cplx_eigh_ok(jnp.dtype(cplx).name):
+        Re, Im = jax.vmap(reim)(v)
+        if f32_eig:
+            Re, Im = Re.astype(jnp.float32), Im.astype(jnp.float32)
+        H = (Re + 1j * Im).astype(cplx)
+        w, V = jnp.linalg.eigh(H)
+        w = jnp.maximum(w, 0.0)
+        Mp = jnp.einsum("bij,bj,bkj->bik", V, w.astype(cplx), V.conj(),
+                        precision=jax.lax.Precision.HIGHEST)
+        Re_p, Im_p = jnp.real(Mp).astype(dtype), jnp.imag(Mp).astype(dtype)
+        return jax.vmap(pack)(v, Re_p, Im_p)
+
+    E = jax.vmap(embed)(v)
+    if f32_eig:
+        w, V = jnp.linalg.eigh(E.astype(jnp.float32))
+    else:
+        w, V = _eigh_accurate(E)
+    Ep = _reconstruct(V, jnp.maximum(w, 0.0), dtype)
     return jax.vmap(unembed)(v, Ep)

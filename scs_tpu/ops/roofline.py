@@ -231,9 +231,27 @@ def measure(n: int = 4096, iters: int = 400, reps: int = 3) -> dict:
     # the ~535 GB/s read wall is a stream-issue property, not a probe
     # artifact), which is exactly the gap the measured-ceiling
     # convention exists to factor out.
+    #
+    # Ceiling convention (round 5): the measured read wall is the MAX of
+    # the pure-read probe and the best read-dominated kernel observed in
+    # the same run. Both probes sample the same ~525-545 GB/s wall with
+    # a few-percent spread; round 4 recorded ds=524 over read-probe=515
+    # (frac "1.017"), which misreads as the kernel beating a ceiling
+    # when it is two noisy samples of one wall. Taking the max makes the
+    # ceiling an attainable-bandwidth WITNESS (something concrete
+    # achieved it) and guarantees frac <= 1 by construction. No
+    # third-party attainable-HBM-bandwidth measurement for this part is
+    # published anywhere we can find (vendors publish only the spec
+    # figure reported in `peak_gbps`/`frac_spec`), so the witness
+    # convention is the strongest available denominator.
     rp = out.get("read_peak_gbps")
-    out["frac"] = (ach / rp) if (rp and ach) else (
-        (ach / peak) if peak else None)
+    if rp and ach:
+        ceiling = max(rp, ach)
+        out["read_ceiling_gbps"] = ceiling
+        out["frac"] = ach / ceiling
+    else:
+        out["read_ceiling_gbps"] = None
+        out["frac"] = (ach / peak) if peak else None
     out["frac_spec"] = (ach / peak) if peak else None
     # back-compat alias (round-2 key)
     out["frac_achievable"] = out["frac"]

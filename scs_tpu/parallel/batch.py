@@ -480,14 +480,13 @@ def _chunk_machinery(spec: ConeSpec, stg: Settings, has_P: bool = False):
 
     level_b = jax.jit(_level)
     polish = {}          # lazily-built f64 phase kernels, one per solver
-    import os
+    import sys as _sys
     import time as _time
 
     import numpy as np
 
-    _debug = bool(os.environ.get("SCS_TPU_LEVEL_DEBUG"))
-
-    def run_phase(level_kernel, data, st, cap_total, entry_alive=None):
+    def run_phase(level_kernel, data, st, cap_total, entry_alive=None,
+                  deadline=None):
         """Level-based dispatch with straggler compaction.
 
         The batched loop runs every lane until the slowest terminates, so
@@ -509,9 +508,20 @@ def _chunk_machinery(spec: ConeSpec, stg: Settings, has_P: bool = False):
         entry compaction the first polish dispatch would step the FULL
         bucket with >90% frozen lanes for up to `budget` sub-steps.
 
-        Returns (st, needs_full) — needs_full a host (B,) bool of lanes
-        whose termination requires the f64 polish phase.
+        deadline: optional time.perf_counter() value — the batched
+        analog of the reference's solve-loop time limit (scs.c:1399-
+        1414): checked between level dispatches (the dispatch
+        granularity bounds overshoot to one level's budget), expired ->
+        stop, scatter progress back, leave running lanes UNFINISHED for
+        the caller to resolve to inaccurate statuses. A KeyboardInterrupt
+        (SIGINT; ctrlc.c:84-127) between dispatches likewise stops with
+        progress preserved; the caller marks running lanes SIGINT.
+
+        Returns (st, needs_full, stop) — needs_full a host (B,) bool of
+        lanes whose termination requires the f64 polish phase; stop is
+        None (ran to completion), "timeout", or "sigint".
         """
+        _debug = _debug_on()
         budget = 8 * max(stg.chunk_iters, 25)
         B = st.status.shape[0]
         min_bucket = max(B // 8, 1)
@@ -528,7 +538,7 @@ def _chunk_machinery(spec: ConeSpec, stg: Settings, has_P: bool = False):
         if entry_alive is not None:
             act0 = np.nonzero(np.asarray(entry_alive))[0]
             if act0.size == 0:
-                return st, needs_full
+                return st, needs_full, None
             eb = max(1 << (int(act0.size) - 1).bit_length(), 8)
             if eb < B:
                 min_bucket = min(min_bucket, eb)
@@ -548,17 +558,31 @@ def _chunk_machinery(spec: ConeSpec, stg: Settings, has_P: bool = False):
                 lambda full, sub: full.at[put].set(sub[take]),
                 st_full, st_work)
 
+        def settle(st):
+            """Scatter the current work set's progress back into the
+            full-batch state (no-op when the work set IS the batch)."""
+            if bucket < B:
+                return scatter_rows(st, st_c, np.arange(act.size), act)
+            return st_c
+
         while True:
+            if deadline is not None and _time.perf_counter() >= deadline:
+                return settle(st), needs_full, "timeout"
             stop = min_bucket if bucket > min_bucket else 0
             t0 = _time.perf_counter() if _debug else 0.0
-            st_c, alive, needs = level_kernel(data_c, st_c, cap_a,
-                                              jnp.asarray(stop, jnp.int32),
-                                              budget_a, valid)
-            if _debug:
-                alive_np, needs_np, it_dbg, cad_dbg = jax.device_get(
-                    (alive, needs, st_c.iter, st_c.cadence))
-            else:
-                alive_np, needs_np = jax.device_get((alive, needs))
+            try:
+                st_c, alive, needs = level_kernel(
+                    data_c, st_c, cap_a, jnp.asarray(stop, jnp.int32),
+                    budget_a, valid)
+                if _debug:
+                    alive_np, needs_np, it_dbg, cad_dbg = jax.device_get(
+                        (alive, needs, st_c.iter, st_c.cadence))
+                else:
+                    alive_np, needs_np = jax.device_get((alive, needs))
+            except KeyboardInterrupt:
+                # st_c is a consistent LoopState whether the interrupt
+                # landed before the dispatch or during the blocking pull
+                return settle(st), needs_full, "sigint"
             sub = np.nonzero(alive_np[:act.size])[0]
             # a settled lane's status (hence needs flag) is frozen, so
             # OR-ing every level's flags over the current work set sees
@@ -570,13 +594,10 @@ def _chunk_machinery(spec: ConeSpec, stg: Settings, has_P: bool = False):
                 print(f"[level] bucket={bucket} alive={sub.size} "
                       f"wall={_time.perf_counter() - t0:.3f}s "
                       f"iter=[{iv.min()},{iv.max()}] "
-                      f"cadence=[{cv.min()},{cv.max()}]", flush=True)
+                      f"cadence=[{cv.min()},{cv.max()}]",
+                      file=_sys.stderr, flush=True)
             if sub.size == 0:
-                if bucket < B:
-                    st = scatter_rows(st, st_c, np.arange(act.size), act)
-                else:
-                    st = st_c
-                return st, needs_full
+                return settle(st), needs_full, None
             new_bucket = max(1 << (int(sub.size) - 1).bit_length(),
                              min_bucket)
             if new_bucket < bucket:
@@ -597,17 +618,62 @@ def _chunk_machinery(spec: ConeSpec, stg: Settings, has_P: bool = False):
                 st_c = jax.tree.map(lambda a: a[take], st)
                 valid = jnp.asarray(np.arange(bucket) < act.size)
 
-    def solve_from(data, st, cap_total):
+    def _resolve_stop(st, stop):
+        """Apply the reference's stop semantics to still-running lanes.
+
+        sigint: running lanes -> SIGINT (ctrlc.c + scs.c:1399-1403; the
+        single-problem path does the same in api.Workspace.solve).
+        timeout: running lanes stay UNFINISHED (final_fn resolves them
+        to the inaccurate statuses, scs.c:887-913) — but lanes that
+        terminated at the FLOORED fast-phase targets and whose true
+        targets lie below the floor have not met the caller's eps, so
+        they downgrade to their inaccurate variants too."""
+        status = st.status
+        if stop == "sigint":
+            status = jnp.where(status == config.UNFINISHED,
+                               jnp.asarray(config.SIGINT, jnp.int32),
+                               status)
+        elif stop == "timeout" and mixed:
+            if solved_tight_possible:
+                status = jnp.where(
+                    status == config.SOLVED,
+                    jnp.asarray(config.SOLVED_INACCURATE, jnp.int32),
+                    status)
+            if cert_tight_possible:
+                status = jnp.where(
+                    status == config.INFEASIBLE,
+                    jnp.asarray(config.INFEASIBLE_INACCURATE, jnp.int32),
+                    status)
+                status = jnp.where(
+                    status == config.UNBOUNDED,
+                    jnp.asarray(config.UNBOUNDED_INACCURATE, jnp.int32),
+                    status)
+        return dataclasses.replace(st, status=status)
+
+    def solve_from(data, st, cap_total, deadline=None):
         """Run all phases from an arbitrary (data, state) pair. Returns
-        (SolveResult, final LoopState)."""
+        (SolveResult, final LoopState). deadline: optional
+        time.perf_counter() cutoff (see run_phase)."""
         if not mixed:
-            st, _ = run_phase(level_b, data, st, cap_total)
-            return final_b(data, st), st
+            try:
+                st, _, stop = run_phase(level_b, data, st, cap_total,
+                                        deadline=deadline)
+            except KeyboardInterrupt:
+                stop = "sigint"
+            st = _resolve_stop(st, stop) if stop else st
+            return _finalize(data, st)
 
         # fast phase at floored targets; the level pulls already carried
         # the per-lane needs-polish flags (no extra status round trip)
-        st, needs_full = run_phase(
-            level_b, _floored_data(data, st.u.dtype), st, cap_total)
+        try:
+            st, needs_full, stop = run_phase(
+                level_b, _floored_data(data, st.u.dtype), st, cap_total,
+                deadline=deadline)
+        except KeyboardInterrupt:
+            stop = "sigint"
+        if stop:
+            st = _resolve_stop(st, stop)
+            return _finalize(data, st)
         # lazy polish phase: compile the f64-accuracy program only if some
         # lane's true targets lie below the fast floor AND its status
         # needs it
@@ -628,11 +694,11 @@ def _chunk_machinery(spec: ConeSpec, stg: Settings, has_P: bool = False):
                         and stg.eps_abs >= config.MIXED_FAST_FLOOR
                         and stg.eps_rel >= config.MIXED_FAST_FLOOR)
             kind = "exact" if exact_ok else "full"
-            if _debug:
+            if _debug_on():
                 vals, cnts = np.unique(stat, return_counts=True)
                 print(f"[polish] needs={int(needs_full.sum())} kind={kind} "
                       f"fast-end statuses={dict(zip(vals.tolist(), cnts.tolist()))}",
-                      flush=True)
+                      file=_sys.stderr, flush=True)
             if kind not in polish:
                 stg2 = _polish_settings(stg, exactness_only=(kind == "exact"))
                 loop2_b = make_batched_loop(spec, stg2)
@@ -654,20 +720,32 @@ def _chunk_machinery(spec: ConeSpec, stg: Settings, has_P: bool = False):
             # spurious infeasibility certificates at the floored
             # eps_infeas); stepping the full bucket with them frozen
             # dominated warm re-solve walls
-            st, _ = run_phase(polish[kind], data, st, cap_total,
-                              entry_alive=needs_full)
+            try:
+                st, _, stop = run_phase(polish[kind], data, st, cap_total,
+                                        entry_alive=needs_full,
+                                        deadline=deadline)
+            except KeyboardInterrupt:
+                stop = "sigint"
+            if stop == "sigint":
+                st = _resolve_stop(st, stop)
+            # polish-phase timeout: lanes still UNFINISHED resolve to
+            # inaccurate statuses in final_fn — the fast-phase floored
+            # statuses were already reset by the repair fn
+        return _finalize(data, st)
+
+    def _finalize(data, st):
         if final_rp_b is not None:
-            result, st = final_rp_b(data, st)
-            return result, st
+            return final_rp_b(data, st)
         return final_b(data, st), st
 
     def timed_init(*arrays):
+        _debug = _debug_on()
         t0 = _time.perf_counter() if _debug else 0.0
         data, st = init_b(*arrays)
         if _debug:
             jax.tree.map(lambda a: a.block_until_ready(), st.u)
             print(f"[init] wall={_time.perf_counter() - t0:.3f}s",
-                  flush=True)
+                  file=_sys.stderr, flush=True)
         return data, st
 
     return timed_init, final_b, solve_from
@@ -687,11 +765,31 @@ def make_chunked_batch_solver(spec: ConeSpec, stg: Settings,
 
     def solve(*arrays, max_iters: Optional[int] = None) -> SolveResult:
         cap_total = stg.max_iters if max_iters is None else max_iters
+        deadline = (_deadline_from(stg)
+                    if stg.time_limit_secs and stg.time_limit_secs > 0
+                    else None)
         data, st = init_b(*arrays)
-        result, _ = solve_from(data, st, cap_total)
+        result, _ = solve_from(data, st, cap_total, deadline=deadline)
         return result
 
     return solve
+
+
+def _deadline_from(stg: Settings):
+    import time as _t
+
+    return _t.perf_counter() + stg.time_limit_secs
+
+
+def _debug_on() -> bool:
+    """Per-call (not build-time) debug gate so harnesses can flip
+    SCS_TPU_LEVEL_DEBUG around individual solves (bench.py turns it on
+    for the warmup solve only, to attribute first-run cost, and off for
+    the timed reps). Prints go to stderr: bench stdout is a one-JSON-line
+    contract."""
+    import os
+
+    return bool(os.environ.get("SCS_TPU_LEVEL_DEBUG"))
 
 
 @functools.lru_cache(maxsize=32)
@@ -780,7 +878,11 @@ class BatchWorkspace:
         else:
             st = self._restart[False](self.data, self._st)
         self._fresh = False
-        result, st_final = self._solve_from(self.data, st, cap)
+        deadline = (_deadline_from(self.stg)
+                    if self.stg.time_limit_secs
+                    and self.stg.time_limit_secs > 0 else None)
+        result, st_final = self._solve_from(self.data, st, cap,
+                                            deadline=deadline)
         self._st = st_final   # per-lane adapted diag_r/scale persist
         self.last_result = result
         return result

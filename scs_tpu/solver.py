@@ -931,6 +931,16 @@ def make_batched_loop(spec: ConeSpec, stg: Settings):
     if run:
         schedule.append(("plain", run))
 
+    # the macro body INLINES one copy of the core step per schedule entry
+    # (plain runs share one fori_loop body each) plus the two branches of
+    # the offset-0 cond; backend compile time scales with roughly
+    # (copies x per-substep op count), so the auto choice below prices
+    # the macro with this count
+    macro_core_copies = len(schedule) + (2 if use_aa else 1)
+    # memo: [bool use_macro] once the first call has priced the body
+    # (the estimate needs array shapes, which only calls have)
+    _auto_choice = []
+
     def loop(data: ProblemData, st: LoopState, iter_cap, stop_alive,
              k_budget, valid=None) -> LoopState:
         iter_cap = jnp.asarray(iter_cap, jnp.int32)
@@ -1006,14 +1016,24 @@ def make_batched_loop(spec: ConeSpec, stg: Settings):
                 st_new = run_core(st)
             return k + 1, _mask_lanes(st_new, st, active)
 
-        # macro_schedule: None = auto (macro when the unrolled length is
-        # small), False = force the per-step cond body (a far smaller
-        # compiled program — the macro inlines every sub-step, which for
-        # op-heavy cone pipelines like the branchless exp solver
-        # multiplies compile time by ~the macro length; over a remote-TPU
-        # link that is minutes), True = force the macro
+        # macro_schedule: None = auto — COST-AWARE: use the macro only
+        # when its estimated compiled size (core-step jaxpr equations x
+        # inlined core copies) fits _MACRO_EQN_BUDGET. The previous
+        # length-only heuristic (macro <= 150) let op-heavy cone
+        # pipelines (the branchless exp solver, the logdet IPM cascade)
+        # hit pathological backend compiles — max_ent's macro ran >40
+        # minutes over a remote-TPU link — because compile time scales
+        # with copies x per-substep ops, not macro length alone.
+        # False = force the per-step cond body; True = force the macro.
         if stg.macro_schedule is None:
-            use_macro = macro <= _MACRO_CAP
+            if macro > _MACRO_CAP:
+                use_macro = False
+            else:
+                if not _auto_choice:
+                    eqns = _core_eqn_count(blocks, data, st)
+                    _auto_choice.append(
+                        macro_core_copies * eqns <= _MACRO_EQN_BUDGET)
+                use_macro = _auto_choice[0]
         else:
             use_macro = bool(stg.macro_schedule)
         body = macro_body if use_macro else body_fn
@@ -1032,6 +1052,44 @@ def _lcm(a: int, b: int) -> int:
 # above this, the unrolled macro body's program size outweighs the
 # conditional-overhead savings; fall back to the per-step cond body
 _MACRO_CAP = 150
+
+# budget on (core-step jaxpr equations x inlined core copies) for the
+# macro body. Calibrated on this container (1-core CPU, jax 0.8): the
+# default schedule inlines 13 core copies; the headline SOCP core is
+# ~2.3k eqns (13x = 30k, macro compiles 72 s CPU / worth +15% device
+# throughput), the vectorized exp pipeline pushes the core to ~2.9k
+# (13x = 38k; macro compile 119 s CPU and tens of minutes through a
+# remote-TPU backend) and the logdet cascade to ~4.5k. The budget sits
+# between those clusters.
+_MACRO_EQN_BUDGET = 32_000
+
+
+def _count_jaxpr_eqns(jaxpr) -> int:
+    """Total equation count of a jaxpr including nested sub-jaxprs."""
+    n = 0
+    for eqn in jaxpr.eqns:
+        n += 1
+        for v in eqn.params.values():
+            vs = v if isinstance(v, (list, tuple)) else [v]
+            for w in vs:
+                inner = getattr(w, "jaxpr", w if hasattr(w, "eqns") else None)
+                if inner is not None:
+                    n += _count_jaxpr_eqns(inner)
+    return n
+
+
+def _core_eqn_count(blocks: StepBlocks, data_b, st_b) -> int:
+    """Equation count of one (checked) core step, traced on abstract
+    per-problem avals derived from the batched arguments (leading batch
+    dim stripped). Safe to call from inside an outer jit trace: only
+    fresh ShapeDtypeStructs enter the sub-trace."""
+    strip = lambda a: jax.ShapeDtypeStruct(a.shape[1:], a.dtype)  # noqa: E731
+    d1 = jax.tree.map(strip, data_b)
+    s1 = jax.tree.map(strip, st_b)
+    jx = jax.make_jaxpr(
+        lambda d, s: blocks.core(d, s, with_check=True, force_check=True)
+    )(d1, s1)
+    return _count_jaxpr_eqns(jx.jaxpr)
 
 
 # ---------------------------------------------------------------------------

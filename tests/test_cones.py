@@ -134,6 +134,38 @@ def test_cpsd_projection():
                   np.sum(v ** 2, axis=1) + 1e-12)
 
 
+def test_cpsd_complex_vs_embedding_parity():
+    """The native n x n Hermitian-eigh path (round 5; the reference's own
+    zheevr design, cones.c:1072-1156) must agree with the 2n x 2n real
+    embedding to f64 round-off. CPU CI runs the complex path via LAPACK;
+    the TPU backend lacks complex eigh entirely (probed at import:
+    complex64 lowers to 'Unimplemented', complex128 crashes the
+    compiler) and keeps the embedding."""
+    rng = np.random.RandomState(15)
+    for ns in (2, 4, 7):
+        v = rng.randn(2, ns * ns) * 2.0
+        vj = jnp.asarray(v, F64)
+        if not psd._cplx_eigh_ok("complex128"):
+            pytest.skip("backend has no complex eigh")
+        out_c = np.asarray(psd.proj_cpsd_batch(vj, ns))
+        orig = psd._cplx_eigh_ok
+        psd._cplx_eigh_ok = lambda d: False
+        try:
+            out_e = np.asarray(psd.proj_cpsd_batch(vj, ns))
+        finally:
+            psd._cplx_eigh_ok = orig
+        np.testing.assert_allclose(out_c, out_e, atol=1e-9)
+        # f32 fast-phase parity (complex64 vs f32 embedding), looser
+        out_c32 = np.asarray(psd.proj_cpsd_batch(vj, ns, f32_eig=True))
+        psd._cplx_eigh_ok = lambda d: False
+        try:
+            out_e32 = np.asarray(psd.proj_cpsd_batch(vj, ns,
+                                                     f32_eig=True))
+        finally:
+            psd._cplx_eigh_ok = orig
+        np.testing.assert_allclose(out_c32, out_e32, atol=5e-4)
+
+
 def test_power_cone():
     rng = np.random.RandomState(6)
     v = rng.uniform(-2, 2, (30, 3))
