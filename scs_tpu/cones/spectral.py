@@ -697,20 +697,85 @@ def log_cone_ipm(t0_in, v0_in, x0_in, variant=0):
     return u1_f[0], u1_f[1], u1_f[2:]
 
 
+def _logdet_gate(tp, vp, xp, t0, v0, w):
+    """KKT acceptance gate on a lane axis (log_cone_wrapper.c:47-129)."""
+    d, p, cm = jax.vmap(check_logdet_opt)(tp, vp, xp, t0, v0, w)
+    return ((tp >= t0 - 0.1 * jnp.abs(t0))
+            & (d < _LW_DUAL_FEAS_TOL) & (p < _LW_PRI_FEAS_TOL)
+            & (jnp.abs(cm) < _LW_COMP_TOL))
+
+
+def _logdet_ipm_cascade(args):
+    """IPM fallback over a lane axis. scan over the two variants with a
+    TRACED mehrotra flag: the IPM body compiles once, runs twice (compile
+    time is the logdet bottleneck over a remote-TPU link)."""
+    t_n, v_n, x_n, ok, t0, v0, w = args
+
+    def try_variant(carry, mehrotra):
+        tp, vp, xp, okc = carry
+        ti, vi, xi = jax.vmap(
+            lambda a, b, c: log_cone_ipm(a, b, c, mehrotra))(t0, v0, w)
+        ok_i = _logdet_gate(ti, vi, xi, t0, v0, w)
+        # any lane whose best-so-far hasn't passed the gate takes the
+        # new attempt even if that attempt also fails: the reference
+        # wrapper overwrites `proj` on every attempt, so a total
+        # cascade failure returns the LAST (variant-1 IPM) attempt,
+        # not Newton's rejected stationary point
+        # (log_cone_wrapper.c:80-103)
+        take = ~okc
+        tp = jnp.where(take, ti, tp)
+        vp = jnp.where(take, vi, vp)
+        xp = jnp.where(take[:, None], xi, xp)
+        return (tp, vp, xp, okc | ok_i), None
+
+    (tp, vp, xp, _), _ = jax.lax.scan(try_variant,
+                                      (t_n, v_n, x_n, ok),
+                                      jnp.array([True, False]))
+    return tp, vp, xp
+
+
+@jax.custom_batching.custom_vmap
+def _logdet_finish(t_n, v_n, x_n, ok, t0, v0, w):
+    """Newton result or IPM cascade behind an ALL-lanes scalar cond.
+
+    custom_vmap (r4 verdict missing #4): under an outer vmap — the
+    batched problem solver, parallel/batch.py — a plain lax.cond lowers
+    to select and every batched logdet projection would pay both IPM
+    variants even when every lane's Newton passed the gate (the common
+    case; exactly what log_cone_wrapper.c's gate exists to avoid). The
+    vmap rule below flattens all batch axes into the lane axis and
+    re-enters this function, so the cond stays a SCALAR jnp.all gate at
+    every batching depth and all-Newton-pass batches skip the IPM cost
+    entirely at run time."""
+    return jax.lax.cond(
+        jnp.all(ok), lambda a: (a[0], a[1], a[2]), _logdet_ipm_cascade,
+        (t_n, v_n, x_n, ok, t0, v0, w))
+
+
+@_logdet_finish.def_vmap
+def _logdet_finish_vmap(axis_size, in_batched, *args):
+    full = []
+    for a, b in zip(args, in_batched):
+        if not b:
+            a = jnp.broadcast_to(a[None], (axis_size,) + a.shape)
+        full.append(a.reshape((-1,) + a.shape[2:]))
+    ct = full[0].shape[0] // axis_size
+    t_o, v_o, x_o = _logdet_finish(*full)
+    out = (t_o.reshape(axis_size, ct), v_o.reshape(axis_size, ct),
+           x_o.reshape((axis_size, ct) + x_o.shape[1:]))
+    return out, (True, True, True)
+
+
 def proj_logdet_batch(seg, ns: int, f32_eig: bool = False):
     """Project a (ct, tri+2) batch of same-size logdet cones.
 
     Full reference cascade (log_cone_proj_wrapper, log_cone_wrapper.c:47-129):
     batched eigh -> vmapped damped Newton -> KKT-residual gating -> IPM
-    variant 0 -> IPM variant 1, per lane. The IPM legs are behind a scalar
-    any-lane cond so the (rare) fallback costs nothing when Newton
-    converges — which it does on all non-pathological inputs.
-
-    Caveat: under an OUTER vmap (the batched problem solver,
-    parallel/batch.py) lax.cond lowers to select and the IPM legs execute
-    every projection regardless of the gate — batched solving of logdet
-    problems pays the full cascade. The single-problem Workspace path
-    (the normal route for logdet programs) keeps the zero-cost skip.
+    variant 0 -> IPM variant 1, per lane. The IPM legs are behind an
+    all-lanes scalar cond that SURVIVES outer vmaps (custom_vmap rule on
+    _logdet_finish), so the (rare) fallback costs nothing when Newton
+    converges — which it does on all non-pathological inputs — on both
+    the single-problem Workspace path and the batched solver.
     """
     ct = seg.shape[0]
     dtype = seg.dtype
@@ -723,42 +788,8 @@ def proj_logdet_batch(seg, ns: int, f32_eig: bool = False):
     w, V = w.astype(dtype), V.astype(dtype)
 
     t_n, v_n, x_n = jax.vmap(log_cone_newton)(t0, v0, w)
-
-    def gate(tp, vp, xp):
-        d, p, cm = jax.vmap(check_logdet_opt)(tp, vp, xp, t0, v0, w)
-        return ((tp >= t0 - 0.1 * jnp.abs(t0))
-                & (d < _LW_DUAL_FEAS_TOL) & (p < _LW_PRI_FEAS_TOL)
-                & (jnp.abs(cm) < _LW_COMP_TOL))
-
-    ok = gate(t_n, v_n, x_n)
-
-    def ipm_cascade(args):
-        # scan over the two variants with a TRACED mehrotra flag: the IPM
-        # body compiles once, runs twice (compile time is the logdet
-        # bottleneck over the remote-TPU link)
-        def try_variant(carry, mehrotra):
-            tp, vp, xp, ok = carry
-            ti, vi, xi = jax.vmap(
-                lambda a, b, c: log_cone_ipm(a, b, c, mehrotra))(t0, v0, w)
-            ok_i = gate(ti, vi, xi)
-            # any lane whose best-so-far hasn't passed the gate takes the
-            # new attempt even if that attempt also fails: the reference
-            # wrapper overwrites `proj` on every attempt, so a total
-            # cascade failure returns the LAST (variant-1 IPM) attempt,
-            # not Newton's rejected stationary point
-            # (log_cone_wrapper.c:80-103)
-            take = ~ok
-            tp = jnp.where(take, ti, tp)
-            vp = jnp.where(take, vi, vp)
-            xp = jnp.where(take[:, None], xi, xp)
-            return (tp, vp, xp, ok | ok_i), None
-
-        carry, _ = jax.lax.scan(try_variant, args,
-                                jnp.array([True, False]))
-        return carry
-
-    t_p, v_p, x_p, _ = jax.lax.cond(
-        jnp.all(ok), lambda a: a, ipm_cascade, (t_n, v_n, x_n, ok))
+    ok = _logdet_gate(t_n, v_n, x_n, t0, v0, w)
+    t_p, v_p, x_p = _logdet_finish(t_n, v_n, x_n, ok, t0, v0, w)
 
     x_p = jnp.maximum(x_p, 0.0)
     Mp = jnp.einsum("bij,bj,bkj->bik", V, x_p, V,

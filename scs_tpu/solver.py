@@ -387,8 +387,16 @@ def _mask_lanes(new_st, old_st, active):
 
     This is exactly the select a vmapped while_loop inserts for lanes whose
     condition went false — done explicitly because make_batched_loop's outer
-    while_loop is NOT vmapped (its carry is the batched state)."""
+    while_loop is NOT vmapped (its carry is the batched state).
+
+    Leaves the sub-step did not touch are the SAME array object
+    (dataclasses.replace keeps untouched fields), so the select is the
+    identity — skip it outright rather than trusting XLA to simplify
+    select(p, x, x): the biggest such leaves are the AA ring buffers
+    (mem x l per lane), untouched by every plain sub-step."""
     def sel(n, o):
+        if n is o:
+            return o
         act = active.reshape(active.shape + (1,) * (n.ndim - active.ndim))
         return jnp.where(act, n, o)
 
