@@ -72,6 +72,19 @@ def resolve_mixed(stg) -> bool:
             and jax.default_backend() != "cpu")
 
 
+def resolve_fast_f32(stg) -> bool:
+    """Resolve Settings.fast_f32 (the f32-STATE fast phase of the batched
+    solvers): auto (None) follows the resolved mixed flag — the same
+    hardware condition (software-emulated f64) that motivates ds-refined
+    solves makes the f64 elementwise state the step bottleneck. Explicit
+    True requires mixed (the f32 state leans on the ds-accurate solves
+    and checks; without them it is just the pure-f32 SFLOAT mode —
+    use Settings(dtype=float32) for that)."""
+    if stg.fast_f32 is not None:
+        return bool(stg.fast_f32) and resolve_mixed(stg)
+    return resolve_mixed(stg)
+
+
 def prepare_operands(backend, A, P, n_zero: int, mixed: bool):
     """Build (A32, P32, cache) for ProblemData."""
     f32 = jnp.float32

@@ -140,13 +140,28 @@ def _At_matvec(mats, z):
 
 def derive(mats, diag_r, scale, mixed: bool = False):
     """Factor the Schur complement: Cholesky (pure) or explicit f32
-    inverse (mixed)."""
+    inverse (mixed).
+
+    f32-state regime (mats.A.dtype == f32, the batched fast phase): the
+    refinement residual r = b - G x must be computed to ~ulp(r), not
+    ulp(G x) — so `derive` additionally composes a double-single padded
+    operand of G itself (ds_compose_gram, from K's ds split: the f32
+    view carries no f64 K) and `solve` reads it back as a pair
+    (ds_matvec_pair) for an exact-cancellation residual. Without this
+    the refinement is noise-limited at ~1e-7 * |G x|, which is
+    |r|-relative garbage near convergence."""
     G = _gram(mats, diag_r, scale)
     if not mixed:
         return jnp.linalg.cholesky(G)
     L32 = jnp.linalg.cholesky(G.astype(jnp.float32))
     eye = jnp.eye(G.shape[0], dtype=jnp.float32)
     Ginv32 = jax.scipy.linalg.cho_solve((L32, True), eye)
+    if mats.A.dtype == jnp.float32 and mats.cache.ds_K is not None:
+        n = G.shape[0]
+        P = mats.cache.P_dense if mats.cache.P_dense is not None else mats.P
+        ds_G = dsmatvec.ds_compose_gram(mats.cache.ds_K, scale,
+                                        diag_r[:n], n, P)
+        return (Ginv32, jnp.asarray(scale, mats.A.dtype), ds_G)
     return (Ginv32, jnp.asarray(scale, mats.A.dtype))
 
 
@@ -183,13 +198,21 @@ def solve(mats, diag_r, derived, rhs, warm_start, tol):
         y = ((A @ x) - ry) / r_y
     else:  # mixed path: f32 inverse-apply + unrolled K refinement, with
         # all f64-accuracy matvecs on the double-single Pallas kernel
-        Ginv32, scale = derived
+        Ginv32, scale = derived[0], derived[1]
+        ds_G = derived[2] if len(derived) > 2 else None
         f32 = jnp.float32
         dtype = rhs.dtype
         b = rx + _At_matvec(mats, ry / r_y)
         x = (Ginv32 @ b.astype(f32)).astype(dtype)
         for _ in range(REFINE_PASSES):
-            r = b - _gram_matvec(mats, diag_r, scale, x)
+            if ds_G is not None:
+                # f32-state regime: exact-cancellation residual from the
+                # ds pair — (b - hi) is Sterbenz-exact, then - lo rounds
+                # at ulp(r) (see derive's docstring)
+                Gh, Gl = dsmatvec.ds_matvec_pair(ds_G, x, n, n)
+                r = (b - Gh) - Gl
+            else:
+                r = b - _gram_matvec(mats, diag_r, scale, x)
             x = x + (Ginv32 @ r.astype(f32)).astype(dtype)
         its = jnp.asarray(REFINE_PASSES, jnp.int32)
         y = (_A_matvec(mats, x) - ry) / r_y

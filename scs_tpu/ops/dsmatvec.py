@@ -354,6 +354,166 @@ def ds_matvec(split, x, m: int, n: int):
     return _make_ds_matvec(m, n)(Ahi, Alo, x)
 
 
+# ---- pair-output variant (f32-state refinement residuals) -----------
+#
+# The f32-state fast phase computes iterative-refinement residuals
+# r = b - G x with b, x f32. Combining the kernel's double-single
+# accumulator into ONE f32 value first (ds_matvec) throws away the low
+# word, capping r's accuracy at ~1e-7 * |G x| — which is |r|-relative
+# garbage once |r| << |G x| and stalls the refinement. Returning the
+# (hi, lo) pair lets the caller cancel exactly: (b - hi) is a Sterbenz-
+# exact f32 subtraction of nearby values, and subtracting lo afterwards
+# rounds at ulp(r), not ulp(G x).
+
+@functools.lru_cache(maxsize=None)
+def _make_ds_matvec_pair(m: int, n: int):
+    from jax.custom_batching import custom_vmap
+
+    @custom_vmap
+    def mv(Ahi, Alo, x):
+        oh, ol = _ds_matvec_padded_raw(Ahi, Alo, x, m=m, n=n)
+        return oh, ol
+
+    @mv.def_vmap
+    def _rule(axis_size, in_batched, Ahi, Alo, x):
+        ab, lb, xb = in_batched
+        if not ab:
+            Ahi = jnp.broadcast_to(Ahi, (axis_size,) + Ahi.shape)
+            Alo = jnp.broadcast_to(Alo, (axis_size,) + Alo.shape)
+        if not xb:
+            x = jnp.broadcast_to(x, (axis_size,) + x.shape)
+        oh, ol = _ds_matvec_batched_raw(Ahi, Alo, x, m=m, n=n)
+        return (oh, ol), (True, True)
+
+    return mv
+
+
+def ds_matvec_pair(split, x, m: int, n: int):
+    """(hi, lo) f32 pair with hi + lo = A @ x to ~2^-48 relative."""
+    Ahi, Alo = split
+    return _make_ds_matvec_pair(m, n)(Ahi, Alo, x)
+
+
+def _pair_padded(Ahi, Alo, x, m: int, n: int, interpret: bool = False):
+    mp, np_ = Ahi.shape
+    dtype = x.dtype
+    xhi = jnp.zeros((1, np_), jnp.float32).at[0, :n].set(
+        x.astype(jnp.float32))
+    xlo = jnp.zeros((1, np_), jnp.float32).at[0, :n].set(
+        (x - xhi[0, :n].astype(dtype)).astype(jnp.float32))
+    chunk = min(np_, _MAX_CHUNK)
+    bm = min(256, mp)
+    while mp % bm:
+        bm //= 2
+    grid = (mp // bm, np_ // chunk)
+
+    def a_map(i, j):
+        return (jnp.int32(i), jnp.int32(j))
+
+    def x_map(i, j):
+        return (jnp.int32(0), jnp.int32(j))
+
+    def o_map(i, j):
+        return (jnp.int32(i), jnp.int32(0))
+
+    oh, ol = pl.pallas_call(
+        functools.partial(_kernel, chunk=chunk),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, chunk), a_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, chunk), a_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, chunk), x_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, chunk), x_map, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((bm, 1), o_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, 1), o_map, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((mp, 1), jnp.float32),
+            jax.ShapeDtypeStruct((mp, 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(Ahi, Alo, xhi, xlo)
+    return oh[:m, 0], ol[:m, 0]
+
+
+_ds_matvec_padded_raw = jax.jit(_pair_padded,
+                                static_argnames=("m", "n", "interpret"))
+
+
+def _pair_batched(Ahi, Alo, x, m: int, n: int, interpret: bool = False):
+    B, mp, np_ = Ahi.shape
+    dtype = x.dtype
+    xhi32 = x.astype(jnp.float32)
+    xlo32 = (x - xhi32.astype(dtype)).astype(jnp.float32)
+    xhi = jnp.zeros((B, 1, np_), jnp.float32).at[:, 0, :n].set(xhi32)
+    xlo = jnp.zeros((B, 1, np_), jnp.float32).at[:, 0, :n].set(xlo32)
+    chunk = min(np_, _MAX_CHUNK)
+    max_rows = max(8, (128 * 1024) // chunk)
+    bm = min(mp, max_rows // 8 * 8)
+    while mp % bm:
+        bm -= 8
+    bb = min(B, max(1, max_rows // bm))
+    while B % bb:
+        bb -= 1
+    grid = (B // bb, mp // bm, np_ // chunk)
+
+    def a_map(ib, i, j):
+        return (jnp.int32(ib), jnp.int32(i), jnp.int32(j))
+
+    def x_map(ib, i, j):
+        return (jnp.int32(ib), jnp.int32(0), jnp.int32(j))
+
+    def o_map(ib, i, j):
+        return (jnp.int32(ib), jnp.int32(i), jnp.int32(0))
+
+    oh, ol = pl.pallas_call(
+        functools.partial(_batched_kernel, chunk=chunk),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bb, bm, chunk), a_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, bm, chunk), a_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, 1, chunk), x_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, 1, chunk), x_map, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((bb, bm, 1), o_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, bm, 1), o_map, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, mp, 1), jnp.float32),
+            jax.ShapeDtypeStruct((B, mp, 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(Ahi, Alo, xhi, xlo)
+    return oh[:, :m, 0], ol[:, :m, 0]
+
+
+_ds_matvec_batched_raw = jax.jit(_pair_batched,
+                                 static_argnames=("m", "n", "interpret"))
+
+
+def ds_compose_gram(ds_K, scale, diag, n: int, P=None):
+    """Padded (hi, lo) ds operand of G = scale * K + diag(diag) [+ P]
+    from K's padded ds split — pure f32/ds arithmetic (the f32-state
+    fast phase has no f64 K; the split IS the accurate K). Per-derive
+    cost: a few elementwise passes over (n, n)."""
+    Khi, Klo = ds_K
+    # ds scalar multiply: two_prod(scale, Khi) + scale * Klo
+    p, e = _two_prod(jnp.asarray(scale, jnp.float32), Khi)
+    e = e + jnp.asarray(scale, jnp.float32) * Klo
+    hi = p + e
+    lo = e - (hi - p)
+    # add diag (top-left n x n region; padding rows/cols stay zero)
+    idx = jnp.arange(n)
+    D = jnp.zeros_like(hi).at[idx, idx].set(diag.astype(jnp.float32))
+    if P is not None:
+        D = D + jnp.pad(P.astype(jnp.float32),
+                        ((0, hi.shape[0] - n), (0, hi.shape[1] - n)))
+    return _ds_add(hi, lo, D, jnp.zeros_like(D))
+
+
 def supported() -> bool:
     """Pallas path availability (TPU-like backends only)."""
     return jax.default_backend() != "cpu"

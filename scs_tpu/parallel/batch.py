@@ -28,7 +28,7 @@ from ..equilibrate import (equilibrate, identity_scaling, normalize_b_c,
                            normalize_xys, unnormalize_xys)
 from ..cones.box import scale_box_bounds
 from ..linsys import (Mats, get_backend, prepare_operands,
-                      resolve_mixed)
+                      resolve_fast_f32, resolve_mixed)
 from ..solver import (LoopState, ProblemData, Residuals, make_batched_loop,
                       make_loop, make_moreau_repolish, pack_warm_v,
                       populate_residuals, set_diag_r)
@@ -186,6 +186,33 @@ def make_solver_parts(spec: ConeSpec, stg: Settings):
     return init_fn, chunk_fn, final_fn
 
 
+def _cast_floats(tree, src, dst):
+    """Cast every `src`-dtype leaf of a pytree to `dst` (other leaves —
+    ints, bools, already-`dst` floats like the ds hi/lo splits — pass
+    through untouched)."""
+    return jax.tree.map(
+        lambda a: a.astype(dst)
+        if (hasattr(a, "dtype") and a.dtype == src) else a, tree)
+
+
+@functools.lru_cache(maxsize=8)
+def _demote_jit():
+    return jax.jit(lambda t: _cast_floats(t, jnp.float64, jnp.float32))
+
+
+@functools.lru_cache(maxsize=8)
+def _promote_jit():
+    """f32 -> f64 state promotion at the fast->polish/finalize boundary.
+
+    Blanket promotion is safe: the only leaf that is f32 BY DESIGN in the
+    f64 regime is the mixed factor inside `derived` (e.g. the direct
+    backend's Ginv32), and every post-fast-phase consumer either replaces
+    `derived` first (make_repair_fn re-derives for the polish phase) or
+    never reads it (final_fn, the finalize repolish, BatchWorkspace's
+    restart path)."""
+    return jax.jit(lambda t: _cast_floats(t, jnp.float32, jnp.float64))
+
+
 def _floored_data(data: ProblemData, dtype) -> ProblemData:
     """Fast-phase targets: tolerances floored at the mixed path's true-
     residual floor (see api.Workspace.solve's two-phase strategy)."""
@@ -339,6 +366,7 @@ def make_pure_solver(spec: ConeSpec, stg: Settings,
     init_fn, chunk_fn, final_fn = make_solver_parts(spec, stg)
     cap = stg.max_iters if max_iters is None else max_iters
     mixed = resolve_mixed(stg)
+    f32fast = resolve_fast_f32(stg)
     if mixed:
         stg2 = _polish_settings(stg)
         _, chunk2_fn, _ = make_solver_parts(spec, stg2)
@@ -348,7 +376,15 @@ def make_pure_solver(spec: ConeSpec, stg: Settings,
         data, st = init_fn(A, P, b, c, bu, bl)
         cap_arr = jnp.asarray(cap, jnp.int32)
         if mixed:
-            st = chunk_fn(_floored_data(data, A.dtype), st, cap_arr)
+            if f32fast:   # f32-state fast phase (see _chunk_machinery)
+                fdata = _floored_data(
+                    _cast_floats(data, jnp.float64, jnp.float32),
+                    jnp.float32)
+                st = _cast_floats(st, jnp.float64, jnp.float32)
+                st = chunk_fn(fdata, st, cap_arr)
+                st = _cast_floats(st, jnp.float32, jnp.float64)
+            else:
+                st = chunk_fn(_floored_data(data, A.dtype), st, cap_arr)
             st = repair_fn(data, st)
             st = chunk2_fn(data, st, cap_arr)
         else:
@@ -384,6 +420,7 @@ def make_batched_solve_fn(spec: ConeSpec, stg: Settings,
     loop_b = make_batched_loop(spec, stg)
     cap = stg.max_iters if max_iters is None else max_iters
     mixed = resolve_mixed(stg)
+    f32fast = resolve_fast_f32(stg)
     if mixed:
         stg2 = _polish_settings(stg)
         loop2_b = make_batched_loop(spec, stg2)
@@ -395,8 +432,16 @@ def make_batched_solve_fn(spec: ConeSpec, stg: Settings,
         run_all = jnp.asarray(0, jnp.int32)          # stop_alive = 0
         no_budget = jnp.asarray(2**30, jnp.int32)
         if mixed:
-            st = loop_b(_floored_data(data, arrays[0].dtype), st, cap_a,
-                        run_all, no_budget)
+            if f32fast:   # f32-state fast phase (see _chunk_machinery)
+                fdata = _floored_data(
+                    _cast_floats(data, jnp.float64, jnp.float32),
+                    jnp.float32)
+                st = _cast_floats(st, jnp.float64, jnp.float32)
+                st = loop_b(fdata, st, cap_a, run_all, no_budget)
+                st = _cast_floats(st, jnp.float32, jnp.float64)
+            else:
+                st = loop_b(_floored_data(data, arrays[0].dtype), st,
+                            cap_a, run_all, no_budget)
             st = repair_b(data, st)
             st = loop2_b(data, st, cap_a, run_all, no_budget)
         else:
@@ -439,11 +484,17 @@ def _chunk_machinery(spec: ConeSpec, stg: Settings, has_P: bool = False):
     init_fn, _, final_fn = make_solver_parts(spec, stg)
     init_b = jax.jit(_vmap_six(init_fn, has_P))
     final_b = jax.jit(jax.vmap(final_fn))
+    f32fast = resolve_fast_f32(stg)
     # exp/power lanes leave the f32 fast phase ~1e-6 outside their cones
-    # (no forced f64 ADMM polish, ConeSpec.f32_polish_cones); ONE fused
-    # f64 Moreau re-projection at finalize restores construction-exact
-    # cone membership + complementarity (solver.make_moreau_repolish)
-    if resolve_mixed(stg) and bool(spec.ep or spec.ed or spec.p):
+    # (no forced f64 ADMM polish, ConeSpec.f32_polish_cones), and under
+    # the f32-STATE fast phase EVERY lane's returned split carries f32
+    # rounding (~1e-7-relative complementarity, above the reference's
+    # 5e-8 acceptance bound, problem_utils.h:220-223); ONE fused f64
+    # Moreau re-projection at finalize restores construction-exact cone
+    # membership + complementarity (solver.make_moreau_repolish) —
+    # idempotent for lanes that already ended on an f64 projection.
+    if resolve_mixed(stg) and (bool(spec.ep or spec.ed or spec.p)
+                               or f32fast):
         _rp = make_moreau_repolish(spec)
 
         def _final_rp(data, st):
@@ -664,13 +715,26 @@ def _chunk_machinery(spec: ConeSpec, stg: Settings, has_P: bool = False):
             return _finalize(data, st)
 
         # fast phase at floored targets; the level pulls already carried
-        # the per-lane needs-polish flags (no extra status round trip)
+        # the per-lane needs-polish flags (no extra status round trip).
+        # Under fast_f32 the phase runs on an f32 VIEW of (data, state):
+        # every f64 leaf demoted (the ds hi/lo splits — already f32 pairs
+        # — pass through and keep the solves/checks f64-accurate); the
+        # state promotes back to f64 at phase exit, so everything
+        # downstream (repair, polish, finalize, BatchWorkspace reuse) is
+        # unchanged.
+        if f32fast:
+            fdata = _floored_data(_demote_jit()(data), jnp.float32)
+            fst = _demote_jit()(st)
+        else:
+            fdata, fst = _floored_data(data, st.u.dtype), st
         try:
             st, needs_full, stop = run_phase(
-                level_b, _floored_data(data, st.u.dtype), st, cap_total,
-                deadline=deadline)
+                level_b, fdata, fst, cap_total, deadline=deadline)
         except KeyboardInterrupt:
+            st = fst
             stop = "sigint"
+        if f32fast:
+            st = _promote_jit()(st)
         if stop:
             st = _resolve_stop(st, stop)
             return _finalize(data, st)

@@ -147,6 +147,29 @@ def _norm_inf(x):
     return jnp.max(jnp.abs(x), initial=0.0)
 
 
+def _dot(x, y):
+    """Last-axis dot. f32 inputs (the f32-state fast phase) use the
+    compensated double-single reduction (ops/dsreduce) — plain f32 dots
+    carry ~1e-6 relative error over l ~ 500 elements, right at the
+    empirical KKT-noise line (docs/PERFORMANCE.md) for the reductions
+    that steer the iteration (root_plus tau, normalize_v, residual
+    objectives). The f64 path stays BIT-IDENTICAL to the original `@`
+    (the AA exact-parity suite pins the f64 trajectory against the
+    reference binary)."""
+    if x.dtype == jnp.float32 and y.dtype == jnp.float32:
+        from .ops.dsreduce import acc_dot
+        return acc_dot(x, y)
+    return x @ y
+
+
+def _norm_2(x):
+    """L2 norm; compensated sum of squares for f32 (see _dot)."""
+    if x.dtype == jnp.float32:
+        from .ops.dsreduce import acc_norm
+        return acc_norm(x)
+    return jnp.linalg.norm(x)
+
+
 def _safediv_pos(x, y):
     return jnp.where(y < config.DIV_EPS_TOL, x / config.DIV_EPS_TOL, x / y)
 
@@ -171,7 +194,7 @@ def renormalize_v(v):
     (iteration step 2; homogeneity, scs.c:813-821). Zero-norm v is
     returned unchanged."""
     l = v.shape[0]
-    nrm = jnp.linalg.norm(v)
+    nrm = _norm_2(v)
     return v * (jnp.sqrt(jnp.asarray(l, v.dtype)) * config.ITERATE_NORM
                 / jnp.where(nrm > 0, nrm, 1.0))
 
@@ -198,12 +221,12 @@ def root_plus(g, p, mu, eta, diag_r, nm: int):
     """
     r = diag_r[:nm]
     gs = g * r
-    gg = gs @ g
-    mug = mu[:nm] @ gs
-    pg = p[:nm] @ gs
+    gg = _dot(gs, g)
+    mug = _dot(mu[:nm], gs)
+    pg = _dot(p[:nm], gs)
     ps = p[:nm] * r
-    pp = ps @ p[:nm]
-    pmu = ps @ mu[:nm]
+    pp = _dot(ps, p[:nm])
+    pmu = _dot(ps, mu[:nm])
     tau_scale = diag_r[nm]
     a = tau_scale + gg
     b = mug - 2.0 * pg - eta * tau_scale
@@ -262,14 +285,14 @@ def populate_residuals(data: ProblemData, spec: ConeSpec, u, rsk, it,
     ax_s_btau = ax_s - tau * data.b
     if data.P is not None:
         px = data.P @ x
-        xt_p_x_tau = px @ x
+        xt_p_x_tau = _dot(px, x)
     else:
         px = jnp.zeros((n,), dtype)
         xt_p_x_tau = jnp.zeros((), dtype)
     aty = _res_matvec(data, y, True) if use_ds else data.A.T @ y
     px_aty_ctau = px + aty + tau * data.c
-    bty_tau = y @ data.b
-    ctx_tau = x @ data.c
+    bty_tau = _dot(y, data.b)
+    ctx_tau = _dot(x, data.c)
 
     # normalized-space norms for the CG tolerance schedule
     nm_ax_s_btau_norm = _norm_inf(ax_s_btau)
@@ -582,7 +605,7 @@ def _build_iteration(spec: ConeSpec, stg: Settings):
         v = st.v
 
         # 2. normalize v to L2 norm sqrt(l) (homogeneity; scs.c:813-821)
-        v_norm = jnp.linalg.norm(v)
+        v_norm = _norm_2(v)
         v = jnp.where((i >= config.FEASIBLE_ITERS) & (v_norm > 0.0),
                       renormalize_v(v), v)
 
@@ -673,7 +696,7 @@ def _build_iteration(spec: ConeSpec, stg: Settings):
     def phase_pre(st: LoopState) -> LoopState:
         i = st.iter
         v = st.v
-        v_norm = jnp.linalg.norm(v)
+        v_norm = _norm_2(v)
         v = jnp.where((i >= config.FEASIBLE_ITERS) & (v_norm > 0.0),
                       renormalize_v(v), v)
         return dataclasses.replace(st, v=v, v_prev=v)

@@ -229,6 +229,23 @@ class Settings:
     # emulated on TPU at ~20x the cost.
     exp_f32: Optional[bool] = None
 
+    # f32-STATE fast phase (batched solvers only; None = auto: on
+    # whenever the mixed path resolves on, i.e. f64 targets on non-CPU
+    # backends). The fast phase's whole ADMM iterate (v/u/u_t/rsk, AA
+    # buffers, cone work) runs in f32 while every accuracy-critical
+    # reduction stays double-single: KKT solves (f32 factor apply +
+    # ds-refinement), residual checks (ds matvecs), root_plus/normalize_v
+    # dots (ops/dsreduce). Rationale: f64 is software-emulated on TPU at
+    # ~100 Mop/s-grade for elementwise/reduce ops, and the measured
+    # batched step is dominated by exactly those (docs/PERFORMANCE.md
+    # round-5 step-cost analysis) — while the f32-state rounding noise
+    # (~6e-8 absolute on unit-scale iterates) sits well below the ~1e-6
+    # empirical KKT-noise tolerance. Tight targets below the fast floor
+    # still hand off to the f64 polish phase (state promoted), and ONE
+    # f64 Moreau re-projection at finalize restores construction-exact
+    # cone membership/complementarity for every returned solution.
+    fast_f32: Optional[bool] = None
+
     # batched-loop body selection (solver.make_batched_loop): None = auto
     # (statically scheduled macro when lcm(acceleration_interval, 25) is
     # small — peak throughput), False = force the per-step cond body (a
